@@ -1,0 +1,148 @@
+"""Learned collision-distance models: MLP forward + input Jacobian in JAX.
+
+Capability parity with the reference networks
+(`cpp/src/Constraints/SelfCollision/SelfCollisionModel.cpp:75-250`,
+`EnvCollision/EnvCollisionModel.cpp`):
+
+* self-collision:  q (7,)  -> min link-link distance [cm], layers 21->256->64->1
+  with "NeRF" input encoding ``[x, sin x, cos x]``;
+* env-collision:   [q (7,), obs_pos (3,)] -> per-link distance to a sphere
+  obstacle [cm] (9 outputs), layers 30->256x4->9, same encoding.
+
+The reference hand-rolls forward-mode Jacobian accumulation (~650 LoC of
+layer-by-layer chain rule).  Here the same math is a handful of batched
+matmuls: the Jacobian chain ``J_l = (relu'(z_l) * W_l) @ J_{l-1}`` maps
+directly onto the MXU when vmapped over (scenarios x knots).  ReLU' uses the
+``z > 0`` convention, matching the reference's ``ReLU_derivative``.
+
+Weights load from the reference's plain-text parameter files
+(``weight_i.txt`` / ``bias_i.txt``) or from a cached ``.npz``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import PANDA_DOF, PANDA_NUM_LINKS
+
+
+@struct.dataclass
+class MLPParams:
+    """Weights of one collision MLP (tuple-of-arrays pytree)."""
+
+    weights: tuple  # tuple of (out, in) arrays
+    biases: tuple   # tuple of (out,) arrays
+
+
+def nerf_encode(x: jnp.ndarray) -> jnp.ndarray:
+    """``[x, sin x, cos x]`` encoding (`SelfCollisionModel.cpp:143-151`)."""
+    return jnp.concatenate([x, jnp.sin(x), jnp.cos(x)], axis=-1)
+
+
+def _nerf_jacobian(x: jnp.ndarray) -> jnp.ndarray:
+    """(3n, n) Jacobian of the NeRF encoding."""
+    n = x.shape[-1]
+    eye = jnp.eye(n, dtype=x.dtype)
+    return jnp.concatenate([
+        eye,
+        jnp.diag(jnp.cos(x)),
+        jnp.diag(-jnp.sin(x)),
+    ], axis=0)
+
+
+def mlp_forward(params: MLPParams, x: jnp.ndarray, is_nerf: bool = True) -> jnp.ndarray:
+    """Value-only forward pass (used by line-search-style cheap evals)."""
+    h = nerf_encode(x) if is_nerf else x
+    n_layer = len(params.weights)
+    for i in range(n_layer - 1):
+        h = jnp.maximum(params.weights[i] @ h + params.biases[i], 0.0)
+    return params.weights[-1] @ h + params.biases[-1]
+
+
+def mlp_forward_jacobian(params: MLPParams, x: jnp.ndarray, is_nerf: bool = True):
+    """Forward pass + analytic input Jacobian.
+
+    Returns ``(y (n_out,), dy/dx (n_out, n_in))``; semantics identical to the
+    reference ``calculateMlpOutput`` chain-rule accumulation
+    (`SelfCollisionModel.cpp:160-222`).
+    """
+    h = nerf_encode(x) if is_nerf else x
+    jac = _nerf_jacobian(x) if is_nerf else jnp.eye(x.shape[-1], dtype=x.dtype)
+    n_layer = len(params.weights)
+    for i in range(n_layer - 1):
+        z = params.weights[i] @ h + params.biases[i]
+        mask = (z > 0.0).astype(x.dtype)
+        h = jnp.maximum(z, 0.0)
+        jac = (mask[:, None] * params.weights[i]) @ jac
+    y = params.weights[-1] @ h + params.biases[-1]
+    jac = params.weights[-1] @ jac
+    return y, jac
+
+
+# ------------------------------------------------------------------
+# Weight loading
+# ------------------------------------------------------------------
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ASSET_NN_DIR = os.path.join(_REPO_ROOT, "assets", "nn")
+_REFERENCE_NN_DIR = "/root/reference/cpp/NNmodel"
+
+SELF_HIDDEN = (256, 64)
+ENV_HIDDEN = (256, 256, 256, 256)
+
+
+def _load_txt_dir(directory: str, n_layers: int):
+    ws, bs = [], []
+    for i in range(n_layers):
+        ws.append(np.loadtxt(os.path.join(directory, f"weight_{i}.txt"), dtype=np.float64))
+        b = np.loadtxt(os.path.join(directory, f"bias_{i}.txt"), dtype=np.float64)
+        bs.append(np.atleast_1d(b))
+    ws[-1] = np.atleast_2d(ws[-1])
+    return ws, bs
+
+
+def _load_npz(file: str, n_layers: int):
+    data = np.load(file)
+    ws = [data[f"weight_{i}"] for i in range(n_layers)]
+    bs = [data[f"bias_{i}"] for i in range(n_layers)]
+    return ws, bs
+
+
+def _resolve_and_load(kind: str, n_layers: int):
+    """Asset resolution: repo .npz cache -> reference text files."""
+    npz = os.path.join(_ASSET_NN_DIR, f"{kind}.npz")
+    if os.path.exists(npz):
+        return _load_npz(npz, n_layers)
+    txt_dir = os.path.join(_REFERENCE_NN_DIR, kind, "parameter")
+    ws, bs = _load_txt_dir(txt_dir, n_layers)
+    # cache to npz for standalone use
+    os.makedirs(_ASSET_NN_DIR, exist_ok=True)
+    np.savez(npz, **{f"weight_{i}": w for i, w in enumerate(ws)},
+             **{f"bias_{i}": b for i, b in enumerate(bs)})
+    return ws, bs
+
+
+def _to_params(ws, bs, dtype) -> MLPParams:
+    return MLPParams(
+        weights=tuple(jnp.asarray(w, dtype=dtype) for w in ws),
+        biases=tuple(jnp.asarray(b, dtype=dtype) for b in bs),
+    )
+
+
+def load_self_collision_nn(dtype=jnp.float64) -> MLPParams:
+    """7-DOF self-collision min-distance model (output in cm)."""
+    ws, bs = _resolve_and_load("self", len(SELF_HIDDEN) + 1)
+    assert ws[0].shape == (SELF_HIDDEN[0], 3 * PANDA_DOF), ws[0].shape
+    return _to_params(ws, bs, dtype)
+
+
+def load_env_collision_nn(dtype=jnp.float64) -> MLPParams:
+    """Per-link env-collision distance model: input [q(7), obs_pos(3)]."""
+    ws, bs = _resolve_and_load("env", len(ENV_HIDDEN) + 1)
+    assert ws[0].shape == (ENV_HIDDEN[0], 3 * (PANDA_DOF + 3)), ws[0].shape
+    assert ws[-1].shape[0] == PANDA_NUM_LINKS
+    return _to_params(ws, bs, dtype)

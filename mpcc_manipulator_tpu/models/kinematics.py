@@ -1,0 +1,143 @@
+"""Franka Panda forward kinematics, Jacobian, and manipulability in pure JAX.
+
+The reference builds an RBDL rigid-body chain from hard-coded frame data
+(`cpp/src/Model/robot_model.cpp:68-319`) and queries FK / 6x7 point Jacobian /
+manipulability per horizon knot.  Here the same physical chain (public Franka
+Panda URDF frame constants) is expressed as static numpy tables and the
+kinematics is a short unrolled JAX chain — jit/vmap-friendly, differentiable,
+and batchable over (scenarios x knots) in one shot.
+
+Frame convention: each joint i contributes a fixed parent<-child transform
+``(R_off[i], p_off[i])`` followed by a revolute rotation ``Rz(q_i)``; after
+joint 7 a fixed flange->hand->TCP transform yields the end-effector frame
+(the reference's ``panda_hand_tcp`` body, `robot_model.cpp:314-319`).
+
+The manipulability gradient defaults to the reference's central finite
+difference with delta=1e-4 (`robot_model.cpp:437-450`) for conformance; an
+exact autodiff version is provided as well.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PANDA_DOF
+
+# Fixed parent<-child rotations for joints 1..7 (transpose of the RBDL
+# spatial-transform E matrices; equal to the URDF rpy rotations).
+_RX_P90 = np.array([[1.0, 0, 0], [0, 0, -1], [0, 1, 0]])   # Rx(+pi/2)
+_RX_M90 = np.array([[1.0, 0, 0], [0, 0, 1], [0, -1, 0]])   # Rx(-pi/2)
+_EYE = np.eye(3)
+
+_R_OFF = np.stack([
+    _EYE,       # joint 1: link0 -> link1
+    _RX_M90,    # joint 2
+    _RX_P90,    # joint 3
+    _RX_P90,    # joint 4
+    _RX_M90,    # joint 5
+    _RX_P90,    # joint 6
+    _RX_P90,    # joint 7
+])
+
+_P_OFF = np.array([
+    [0.0, 0.0, 0.333],
+    [0.0, 0.0, 0.0],
+    [0.0, -0.316, 0.0],
+    [0.0825, 0.0, 0.0],
+    [-0.0825, 0.384, 0.0],
+    [0.0, 0.0, 0.0],
+    [0.088, 0.0, 0.0],
+])
+
+# flange -> hand: Rz(-45 deg), translate 0.107 along z; hand -> TCP: +0.1034 z.
+_C45 = math.sqrt(0.5)
+_R_HAND = np.array([[_C45, _C45, 0.0], [-_C45, _C45, 0.0], [0.0, 0.0, 1.0]])
+_P_HAND = np.array([0.0, 0.0, 0.107])
+_P_TCP = np.array([0.0, 0.0, 0.1034])
+# combined fixed post-transform applied after joint 7
+_R_POST = _R_HAND
+_P_POST = _P_HAND + _R_HAND @ _P_TCP
+
+# Per-link frame origins used for intermediate frames (link0..link7, hand):
+# frame k (0-indexed link k) is the chain state after joint k.
+
+
+def _rz(q):
+    c, s = jnp.cos(q), jnp.sin(q)
+    z = jnp.zeros_like(q)
+    o = jnp.ones_like(q)
+    return jnp.stack([
+        jnp.stack([c, -s, z], -1),
+        jnp.stack([s, c, z], -1),
+        jnp.stack([z, z, o], -1),
+    ], -2)
+
+
+def fk_chain(q: jnp.ndarray):
+    """Full chain FK.
+
+    Returns ``(p_ee, r_ee, origins, axes)`` where ``origins``/``axes`` are
+    (7, 3) world joint origins and world joint axes (for the point Jacobian).
+    """
+    dtype = q.dtype
+    r = jnp.eye(3, dtype=dtype)
+    p = jnp.zeros(3, dtype=dtype)
+    origins = []
+    axes = []
+    r_off = jnp.asarray(_R_OFF, dtype=dtype)
+    p_off = jnp.asarray(_P_OFF, dtype=dtype)
+    for i in range(PANDA_DOF):
+        p = p + r @ p_off[i]
+        r_fixed = r @ r_off[i]
+        origins.append(p)
+        axes.append(r_fixed[:, 2])
+        r = r_fixed @ _rz(q[i])
+    p_ee = p + r @ jnp.asarray(_P_POST, dtype=dtype)
+    r_ee = r @ jnp.asarray(_R_POST, dtype=dtype)
+    return p_ee, r_ee, jnp.stack(origins), jnp.stack(axes)
+
+
+def ee_position(q: jnp.ndarray) -> jnp.ndarray:
+    """End-effector (hand TCP) position, world frame."""
+    return fk_chain(q)[0]
+
+
+def ee_orientation(q: jnp.ndarray) -> jnp.ndarray:
+    """End-effector rotation matrix, world frame."""
+    return fk_chain(q)[1]
+
+
+def ee_jacobian(q: jnp.ndarray) -> jnp.ndarray:
+    """6x7 point Jacobian ``[Jv; Jw]`` of the TCP (reference row order after
+    the swap in `robot_model.cpp:354-377`)."""
+    p_ee, _, origins, axes = fk_chain(q)
+    jv = jnp.cross(axes, p_ee[None, :] - origins).T   # (3, 7)
+    jw = axes.T                                        # (3, 7)
+    return jnp.concatenate([jv, jw], axis=0)
+
+
+def manipulability(q: jnp.ndarray) -> jnp.ndarray:
+    """Yoshikawa manipulability ``sqrt(det(J J^T))`` of the 6x7 TCP Jacobian."""
+    j = ee_jacobian(q)
+    return jnp.sqrt(jnp.clip(jnp.linalg.det(j @ j.T), 0.0, None))
+
+
+def manipulability_gradient_fd(q: jnp.ndarray, delta: float = 1e-4) -> jnp.ndarray:
+    """Central finite-difference gradient of manipulability (reference
+    `dManipulability`, delta=1e-4) evaluated as one batched FK sweep."""
+    eye = jnp.eye(PANDA_DOF, dtype=q.dtype) * delta
+    qs = jnp.concatenate([q[None, :] + eye, q[None, :] - eye], axis=0)  # (14, 7)
+    m = jax.vmap(manipulability)(qs)
+    return (m[:PANDA_DOF] - m[PANDA_DOF:]) / (2.0 * delta)
+
+
+manipulability_gradient_ad = jax.grad(manipulability)
+
+
+def ee_velocity(q: jnp.ndarray, dq: jnp.ndarray) -> jnp.ndarray:
+    """Linear EE velocity ``Jv(q) @ dq``."""
+    return ee_jacobian(q)[:3] @ dq

@@ -1,0 +1,152 @@
+"""MPC orchestration: the full control tick as one jittable pure function.
+
+Functional port of `MPC::runMPC_` (`cpp/src/MPC/mpc.cpp:104-190`):
+
+  1. project s onto the track from the current EE position; recompute
+     vs = (Jv dq) . t(s);
+  2. invalidate the warm start if the projection jumped > max_dist_proj;
+  3. warm start: shift horizon + RK4 rollout of the tail knot
+     (`updateInitialGuess`) or cold start all-knots-at-x0
+     (`generateNewInitialGuess`) — both computed, selected branch-free;
+  4. one batched RobotData sweep over the N+1 knots (FK + NN linearization,
+     frozen for the whole tick — reference semantics);
+  5. SQP solve;
+  6. status machine: 5-strike tolerance of MAX_ITER_EXCEEDED
+     (`mpc.cpp:127-188`).
+
+The carry (:class:`MPCCarry`) is the tick-to-tick state the reference keeps
+in member variables.  ``mpc_step`` is pure: jit it once, ``vmap`` it over
+scenario batches, ``shard_map`` it over a device mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .config import N, N_CONSTR, N_VAR, NU, NX, PANDA_DOF, StateIndex
+from .models import collision_nn as cnn
+from .models import dynamics as dyn
+from .models import kinematics as kin
+from .ocp import qp_data
+from .ocp.robot_data import compute_robot_data
+from .params import MPCCParams, SQPConfig
+from .solver import sqp as sqp_mod
+from .splines import arc_length as als
+from .splines.arc_length import TrackSpline
+
+
+@struct.dataclass
+class MPCCarry:
+    """Tick-to-tick solver state (reference `mpc.h:118-126`)."""
+
+    z_guess: jnp.ndarray           # (N_VAR,) last horizon (raw units)
+    valid_guess: jnp.ndarray       # bool
+    num_guess_failed: jnp.ndarray  # int32 consecutive-failure counter
+
+
+@struct.dataclass
+class MPCOutput:
+    u0: jnp.ndarray          # (NU,) first optimal input
+    x0_updated: jnp.ndarray  # (NX,) state with projected s / re-derived vs
+    horizon_x: jnp.ndarray   # (N+1, NX)
+    horizon_u: jnp.ndarray   # (N, NU)
+    status: jnp.ndarray      # sqp_mod.Status code
+    ok: jnp.ndarray          # bool: reference `runMPC_` return value
+    sqp_iters: jnp.ndarray
+    qp_iters: jnp.ndarray
+
+
+def init_carry(dtype=jnp.float32) -> MPCCarry:
+    return MPCCarry(
+        z_guess=jnp.zeros(N_VAR, dtype=dtype),
+        valid_guess=jnp.asarray(False),
+        num_guess_failed=jnp.asarray(0, dtype=jnp.int32),
+    )
+
+
+def _shift_warm_start(z: jnp.ndarray, x0: jnp.ndarray, ts) -> jnp.ndarray:
+    """`updateInitialGuess` (`mpc.cpp:54-68`): shift knots down by one,
+    pin knot 0 at x0, duplicate knot N-1, RK4-roll the new terminal knot."""
+    xs, us = qp_data.split_z(z)
+    xs_s = jnp.concatenate([x0[None, :], xs[2:], xs[-1:]], axis=0)  # knots 0..N-1
+    us_s = jnp.concatenate([us[1:], us[-1:]], axis=0)
+    # replicate reference ordering: x[N-1] copies x[N-2] *after* the shift
+    xs_s = xs_s.at[N - 1].set(xs_s[N - 2])
+    us_s = us_s.at[N - 1].set(us_s[N - 2])
+    x_term = dyn.rk4_step(xs_s[N - 1], us_s[N - 1], ts)
+    xs_new = jnp.concatenate([xs_s[:N], x_term[None, :]], axis=0)
+    return qp_data.join_z(xs_new, us_s)
+
+
+def _cold_start(x0: jnp.ndarray, dtype) -> jnp.ndarray:
+    """`generateNewInitialGuess` (`mpc.cpp:79-89`)."""
+    return jnp.concatenate([jnp.tile(x0, N + 1), jnp.zeros(N * NU, dtype=dtype)])
+
+
+def _unwrap_s(z: jnp.ndarray, length) -> jnp.ndarray:
+    """`unwrapInitialGuess`: clamp s of knots 1..N to [-inf, L] (the reference
+    only applies the min against track length)."""
+    xs, us = qp_data.split_z(z)
+    s = xs[:, StateIndex.s]
+    s_new = jnp.concatenate([s[:1], jnp.minimum(s[1:], length)])
+    xs = xs.at[:, StateIndex.s].set(s_new)
+    return qp_data.join_z(xs, us)
+
+
+@partial(jax.jit, static_argnames=("cfg", "exact_heading_jac", "ts"))
+def mpc_step(track: TrackSpline, params: MPCCParams, sel_nn: cnn.MLPParams,
+             env_nn: cnn.MLPParams, carry: MPCCarry, x0: jnp.ndarray,
+             u0: jnp.ndarray, obs_pos: jnp.ndarray, obs_radius,
+             ts: float = 0.01, cfg: SQPConfig = SQPConfig(),
+             exact_heading_jac: bool = False) -> tuple[MPCCarry, MPCOutput]:
+    """One full MPC tick.  Pure; returns the new carry and the solution."""
+    dtype = x0.dtype
+    q = x0[:PANDA_DOF]
+    dq = u0[:PANDA_DOF]
+
+    # --- 1. projection + vs re-derivation (`mpc.cpp:107-115`)
+    last_s = x0[StateIndex.s]
+    ee_pos = kin.ee_position(q)
+    s_proj = als.project_on_spline(track, last_s, ee_pos, params.model.max_dist_proj)
+    jv = kin.ee_jacobian(q)[:3]
+    vs = jnp.dot(jv @ dq, als.track_derivative(track, s_proj))
+    x0_new = x0.at[StateIndex.s].set(s_proj).at[StateIndex.vs].set(vs)
+
+    # --- 2. warm-start invalidation on projection jump (`mpc.cpp:117-121`)
+    jumped = jnp.abs(last_s - s_proj) > params.model.max_dist_proj
+    valid = jnp.logical_and(carry.valid_guess, ~jumped)
+    n_failed = carry.num_guess_failed + jnp.where(jumped, 1, 0).astype(jnp.int32)
+
+    # --- 3. warm start selection (both branches are cheap; select)
+    z_warm = _unwrap_s(_shift_warm_start(carry.z_guess, x0_new, ts), track.length)
+    z_cold = _unwrap_s(_cold_start(x0_new, dtype), track.length)
+    z0 = jnp.where(valid, z_warm, z_cold)
+
+    # --- 4. per-tick RobotData sweep (frozen linearization cache)
+    xs0, _ = qp_data.split_z(z0)
+    rb = compute_robot_data(xs0[:, :PANDA_DOF], obs_pos, obs_radius, sel_nn, env_nn)
+
+    # --- 5. SQP
+    res = sqp_mod.solve_ocp(track, rb, params, cfg, z0, u0, ts,
+                            exact_heading_jac=exact_heading_jac)
+
+    # --- 6. status machine (`mpc.cpp:138-188`)
+    solved = res.success
+    valid_next = solved
+    n_failed_next = jnp.where(solved, 0, n_failed + 1).astype(jnp.int32)
+    ok = jnp.logical_or(
+        solved,
+        jnp.logical_and(res.status == sqp_mod.Status.MAX_ITER_EXCEEDED,
+                        n_failed_next < 5))
+
+    xs, us = qp_data.split_z(res.z)
+    new_carry = MPCCarry(z_guess=res.z, valid_guess=valid_next,
+                         num_guess_failed=n_failed_next)
+    out = MPCOutput(u0=us[0], x0_updated=x0_new, horizon_x=xs, horizon_u=us,
+                    status=res.status, ok=ok, sqp_iters=res.sqp_iters,
+                    qp_iters=res.qp_iters)
+    return new_carry, out

@@ -1,0 +1,296 @@
+"""Parameter system: JSON files + runtime override maps -> JAX pytrees.
+
+Capability parity with the reference param classes (`cpp/src/Params/params.cpp`,
+`cpp/include/Params/params.h:32-247`): each parameter group loads from a JSON
+file, and every key can be overridden at runtime through a ``{key: value}``
+map (the reference's ``ParamValue`` semantics, `params.cpp:53-82`).
+
+TPU-first design difference: instead of C++ classes with scalar members, each
+group becomes a registered JAX pytree of device scalars/vectors
+(``flax.struct.dataclass``).  Because they are *traced* arguments of the
+jitted solve, ``set_param`` updates never trigger recompilation — the
+reference pays an object-rebuild per ``setParam`` (`osqp_interface.cpp:95-100`);
+we pay nothing.
+
+Solver options that control trace-time structure (iteration caps, feature
+toggles) live in :class:`SQPConfig`, a hashable static dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .config import NU, NX, PANDA_DOF, StateIndex
+
+# --------------------------------------------------------------------------
+# Asset resolution
+# --------------------------------------------------------------------------
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_PARAM_DIR = os.path.join(_REPO_ROOT, "assets", "params")
+
+
+def param_path(name: str, param_dir: str | None = None) -> str:
+    """Resolve a parameter JSON file name inside the asset directory."""
+    return os.path.join(param_dir or DEFAULT_PARAM_DIR, name)
+
+
+def _load_json(file: str) -> dict:
+    with open(file, "r") as f:
+        return json.load(f)
+
+
+def _get(js: Mapping[str, Any], overrides: Mapping[str, float] | None, key: str):
+    """Reference override-merge semantics: override map wins over JSON value."""
+    if overrides is not None and key in overrides:
+        return overrides[key]
+    return js[key]
+
+
+# --------------------------------------------------------------------------
+# Model / tolerance parameters  (reference `Param`, model.json)
+# --------------------------------------------------------------------------
+
+
+@struct.dataclass
+class ModelParams:
+    """Projection / progress / constraint-tolerance parameters (model.json)."""
+
+    max_dist_proj: jnp.ndarray      # projection jump threshold [m]
+    desired_ee_velocity: jnp.ndarray  # reference path speed [m/s]
+    s_trust_region: jnp.ndarray     # trust region on s per solve [m]
+    deacc_ratio: jnp.ndarray        # fraction of track length where v_des tapers
+    tol_sing: jnp.ndarray           # manipulability buffer
+    tol_selcol: jnp.ndarray         # self-collision buffer [cm]
+    tol_envcol: jnp.ndarray         # env-collision buffer [cm]
+
+
+def load_model_params(file: str, overrides: Mapping[str, float] | None = None,
+                      dtype=jnp.float64) -> ModelParams:
+    js = _load_json(file)
+    g = lambda k: jnp.asarray(_get(js, overrides, k), dtype=dtype)
+    return ModelParams(
+        max_dist_proj=g("max_dist_proj"),
+        desired_ee_velocity=g("desired_ee_velocity"),
+        s_trust_region=g("s_trust_region"),
+        deacc_ratio=g("deaccelerate_ratio"),
+        tol_sing=g("tol_sing"),
+        tol_selcol=g("tol_selcol"),
+        tol_envcol=g("tol_envcol"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cost parameters  (reference `CostParam`, cost.json)
+# --------------------------------------------------------------------------
+
+
+@struct.dataclass
+class CostParams:
+    """MPCC cost weights (cost.json)."""
+
+    q_c: jnp.ndarray          # contouring error weight
+    q_c_N_mult: jnp.ndarray   # terminal contouring multiplier
+    q_l: jnp.ndarray          # lag error weight
+    q_vs: jnp.ndarray         # progress-velocity tracking weight
+    q_ori: jnp.ndarray        # SO(3) heading error weight
+    q_sing: jnp.ndarray       # singularity (manipulability) reward weight
+    r_dq: jnp.ndarray         # joint velocity regularization
+    r_ddq: jnp.ndarray        # cross-knot joint acceleration regularization
+    r_dVs: jnp.ndarray        # dVs regularization
+    q_c_red_ratio: jnp.ndarray    # proximity-triggered contouring reduction
+    q_l_inc_ratio: jnp.ndarray    # proximity-triggered lag increase
+    q_ori_red_ratio: jnp.ndarray  # proximity-triggered heading reduction
+
+
+def load_cost_params(file: str, overrides: Mapping[str, float] | None = None,
+                     dtype=jnp.float64) -> CostParams:
+    js = _load_json(file)
+    g = lambda k: jnp.asarray(_get(js, overrides, k), dtype=dtype)
+    return CostParams(
+        q_c=g("qC"), q_c_N_mult=g("qCNmult"), q_l=g("qL"), q_vs=g("qVs"),
+        q_ori=g("qOri"), q_sing=g("qSing"),
+        r_dq=g("rdq"), r_ddq=g("rddq"), r_dVs=g("rdVs"),
+        q_c_red_ratio=g("qC_reduction_ratio"),
+        q_l_inc_ratio=g("qL_increase_ratio"),
+        q_ori_red_ratio=g("qOri_reduction_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bounds parameters  (reference `BoundsParam`, bounds.json)
+# --------------------------------------------------------------------------
+
+
+@struct.dataclass
+class BoundsParams:
+    """Box bounds on state, input, and joint acceleration (bounds.json)."""
+
+    x_l: jnp.ndarray   # (NX,)
+    x_u: jnp.ndarray   # (NX,)
+    u_l: jnp.ndarray   # (NU,)
+    u_u: jnp.ndarray   # (NU,)
+    ddq_l: jnp.ndarray  # (PANDA_DOF,)
+    ddq_u: jnp.ndarray  # (PANDA_DOF,)
+
+
+_X_KEYS = ["q1", "q2", "q3", "q4", "q5", "q6", "q7", "s", "vs"]
+_U_KEYS = ["dq1", "dq2", "dq3", "dq4", "dq5", "dq6", "dq7", "dVs"]
+_DDQ_KEYS = ["ddq1", "ddq2", "ddq3", "ddq4", "ddq5", "ddq6", "ddq7"]
+
+
+def load_bounds_params(file: str, overrides: Mapping[str, float] | None = None,
+                       dtype=jnp.float64) -> BoundsParams:
+    js = _load_json(file)
+    g = lambda k: float(_get(js, overrides, k))
+    return BoundsParams(
+        x_l=jnp.asarray([g(k + "l") for k in _X_KEYS], dtype=dtype),
+        x_u=jnp.asarray([g(k + "u") for k in _X_KEYS], dtype=dtype),
+        u_l=jnp.asarray([g(k + "l") for k in _U_KEYS], dtype=dtype),
+        u_u=jnp.asarray([g(k + "u") for k in _U_KEYS], dtype=dtype),
+        ddq_l=jnp.asarray([g(k + "l") for k in _DDQ_KEYS], dtype=dtype),
+        ddq_u=jnp.asarray([g(k + "u") for k in _DDQ_KEYS], dtype=dtype),
+    )
+
+
+# --------------------------------------------------------------------------
+# Normalization parameters  (reference `NormalizationParam`, normalization.json)
+# --------------------------------------------------------------------------
+
+
+@struct.dataclass
+class NormalizationParams:
+    """Diagonal state/input scalings T_x, T_u (normalization.json).
+
+    Stored as diagonal vectors; the engine multiplies gradients / Hessians /
+    Jacobian blocks elementwise (cheaper than the reference's dense diag
+    matmuls, same math: `osqp_interface.cpp:157-164, 243-245`).
+    """
+
+    t_x: jnp.ndarray      # (NX,)
+    t_u: jnp.ndarray      # (NU,)
+
+    @property
+    def t_x_inv(self) -> jnp.ndarray:
+        return 1.0 / self.t_x
+
+    @property
+    def t_u_inv(self) -> jnp.ndarray:
+        return 1.0 / self.t_u
+
+
+def load_normalization_params(file: str, overrides: Mapping[str, float] | None = None,
+                              dtype=jnp.float64) -> NormalizationParams:
+    js = _load_json(file)
+    g = lambda k: float(_get(js, overrides, k))
+    return NormalizationParams(
+        t_x=jnp.asarray([g(k) for k in _X_KEYS], dtype=dtype),
+        t_u=jnp.asarray([g(k) for k in _U_KEYS], dtype=dtype),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQP parameters  (reference `SQPParam`, sqp.json)
+# --------------------------------------------------------------------------
+
+
+@struct.dataclass
+class SQPParams:
+    """Runtime-tunable SQP scalars (sqp.json)."""
+
+    eps_prim: jnp.ndarray
+    eps_dual: jnp.ndarray
+    line_search_tau: jnp.ndarray
+    line_search_eta: jnp.ndarray
+    line_search_rho: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class SQPConfig:
+    """Static (trace-time) SQP structure: loop bounds and feature toggles.
+
+    Mirrors reference sqp.json keys `max_iter`, `line_search_max_iter`,
+    `do_SOC`, `use_BFGS`.  Also carries the QP (ADMM) iteration budget, the
+    TPU-native analog of OSQP's `time_limit = Ts/5` cutoff
+    (`osqp_interface.cpp:625`): the reference accepts time-limited, inexact
+    QP solutions, so a fixed iteration cap reproduces that contract.
+    """
+
+    max_iter: int = 100
+    line_search_max_iter: int = 5
+    do_SOC: bool = False
+    use_BFGS: bool = False
+    qp_max_iter: int = 400
+    qp_check_every: int = 25
+
+
+def load_sqp_params(file: str, overrides: Mapping[str, float] | None = None,
+                    dtype=jnp.float64) -> tuple[SQPParams, SQPConfig]:
+    js = _load_json(file)
+    g = lambda k: jnp.asarray(_get(js, overrides, k), dtype=dtype)
+    gi = lambda k: int(_get(js, overrides, k))
+    gb = lambda k: bool(_get(js, overrides, k))
+    sqp = SQPParams(
+        eps_prim=g("eps_prim"), eps_dual=g("eps_dual"),
+        line_search_tau=g("line_search_tau"),
+        line_search_eta=g("line_search_eta"),
+        line_search_rho=g("line_search_rho"),
+    )
+    cfg = SQPConfig(
+        max_iter=gi("max_iter"),
+        line_search_max_iter=gi("line_search_max_iter"),
+        do_SOC=gb("do_SOC"),
+        use_BFGS=gb("use_BFGS"),
+    )
+    return sqp, cfg
+
+
+# --------------------------------------------------------------------------
+# Aggregate
+# --------------------------------------------------------------------------
+
+
+@struct.dataclass
+class MPCCParams:
+    """All runtime-tunable parameters of one MPCC instance, as one pytree.
+
+    This is the traced-argument analog of the reference's per-object param
+    members; `with_overrides` reproduces `MPC::setParam` (`mpc.cpp:204-209`).
+    """
+
+    model: ModelParams
+    cost: CostParams
+    bounds: BoundsParams
+    normalization: NormalizationParams
+    sqp: SQPParams
+
+
+def load_params(param_dir: str | None = None,
+                overrides: Mapping[str, Mapping[str, float]] | None = None,
+                dtype=None) -> tuple[MPCCParams, SQPConfig]:
+    """Load the full parameter set.
+
+    ``overrides`` is the reference's ``ParamValue``: a dict of groups
+    (``param``, ``cost``, ``bounds``, ``normalization``, ``sqp``), each a
+    ``{key: value}`` map merged over the JSON defaults.
+    """
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
+    ov = overrides or {}
+    sqp, cfg = load_sqp_params(param_path("sqp.json", param_dir), ov.get("sqp"), dtype)
+    params = MPCCParams(
+        model=load_model_params(param_path("model.json", param_dir), ov.get("param"), dtype),
+        cost=load_cost_params(param_path("cost.json", param_dir), ov.get("cost"), dtype),
+        bounds=load_bounds_params(param_path("bounds.json", param_dir), ov.get("bounds"), dtype),
+        normalization=load_normalization_params(
+            param_path("normalization.json", param_dir), ov.get("normalization"), dtype),
+        sqp=sqp,
+    )
+    return params, cfg

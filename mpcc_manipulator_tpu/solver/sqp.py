@@ -1,0 +1,210 @@
+"""SQP driver: Gauss-Newton steps + ADMM QPs + filter line search.
+
+Functional port of `OsqpInterface::solveOCP` (`osqp_interface.cpp:398-590`)
+as one fixed-shape ``lax.while_loop``; per iteration:
+
+  1. assemble the normalized QP around the iterate (``build_qp``),
+  2. Hessian NaN / positive-definiteness guard (LLT-equivalent via Cholesky),
+  3. [optional damped BFGS Lagrangian-Hessian update, Nocedal Proc. 18.2],
+  4. ADMM QP solve (cold-started, like the reference's fresh OSQP instance),
+  5. [optional second-order correction re-solve],
+  6. filter line search,
+  7. step, dual update, infinity-norm termination test.
+
+Filter line-search semantics are replicated *exactly*, including the
+reference's acceptance latch (`osqp_interface.cpp:759-808`): the
+``is_alpha_accepted`` flag is initialized once outside the trial loop and
+never reset, so only the alpha = 1 trial can ever be accepted; on rejection
+the step size decays through all ``line_search_max_iter`` trials to
+``tau^line_search_max_iter`` with no further filter interaction.  We
+therefore evaluate a single candidate — semantically identical, and 5x
+cheaper than the reference's dead-trial evaluations.
+
+On failure the returned horizon is the zero-velocity guess
+(`osqp_interface.cpp:587`): all states pinned at x0, inputs zero.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import N, N_CONSTR, N_VAR, NU, NX
+from ..ocp import qp_data
+from ..ocp.robot_data import RobotData
+from ..params import MPCCParams, SQPConfig
+from ..splines.arc_length import TrackSpline
+from . import qp_admm
+
+
+class Status:
+    """SQP/QP status codes (mirror `solver_interface.h:28-42`)."""
+    SOLVED = 0
+    MAX_ITER_EXCEEDED = 1
+    NAN_HESSIAN = 2
+    NON_PD_HESSIAN = 3
+    QP_NOT_CONVERGED = 4   # ADMM hit its iteration cap with large residuals
+
+
+@struct.dataclass
+class SQPResult:
+    z: jnp.ndarray            # final iterate (raw units), or zero-guess on failure
+    lam: jnp.ndarray          # final duals
+    status: jnp.ndarray       # Status code
+    sqp_iters: jnp.ndarray
+    qp_iters: jnp.ndarray     # cumulative ADMM iterations
+    primal_step_norm: jnp.ndarray
+    success: jnp.ndarray      # status == SOLVED
+
+
+def constraint_norm(constr, l, u):
+    """l1 violation of  l <= c <= u  (`OsqpInterface::constraint_norm`)."""
+    return (jnp.sum(jnp.maximum(l - constr, 0.0))
+            + jnp.sum(jnp.maximum(constr - u, 0.0)))
+
+
+def _bfgs_update(hess, step_prev, delta_grad_l):
+    """Damped BFGS (`OsqpInterface::BFGSUpdate`, Nocedal Proc. 18.2)."""
+    bs = hess @ step_prev
+    s_bs = jnp.dot(step_prev, bs)
+    sy = jnp.dot(step_prev, delta_grad_l)
+    damped = sy < 0.2 * s_bs
+    theta = jnp.where(damped, 0.8 * s_bs / jnp.maximum(s_bs - sy, 1e-300), 1.0)
+    r = theta * delta_grad_l + (1.0 - theta) * bs
+    sr = theta * sy + (1.0 - theta) * s_bs
+    upd = hess - jnp.outer(bs, bs) / jnp.maximum(s_bs, 1e-300) + jnp.outer(r, r) / sr
+    ok = sr >= jnp.finfo(hess.dtype).eps
+    return jnp.where(ok, upd, hess)
+
+
+def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
+              cfg: SQPConfig, z0: jnp.ndarray, current_u: jnp.ndarray, ts: float,
+              exact_heading_jac: bool = False) -> SQPResult:
+    """Run the full SQP loop from warm-start iterate ``z0``."""
+    dtype = z0.dtype
+    max_filter = cfg.max_iter + 1
+    sqp = params.sqp
+    alpha_fail = sqp.line_search_tau ** cfg.line_search_max_iter
+
+    def qp_at(z, with_derivs=True):
+        return qp_data.build_qp(track, z, rb, params, current_u, ts,
+                                exact_heading_jac)
+
+    def eval_point(z):
+        obj = qp_data.total_objective(track, z, rb, params, exact_heading_jac)
+        constr, l, u = qp_data.constraint_values(track, z, rb, params, current_u, ts)
+        return obj, constraint_norm(constr, l, u)
+
+    def cond(carry):
+        (z, lam, f_obj, f_vio, f_cnt, hess, grad_l, step_prev, it, status,
+         prim_norm, qp_it, done) = carry
+        return jnp.logical_and(~done, it < cfg.max_iter)
+
+    def body(carry):
+        (z, lam, f_obj, f_vio, f_cnt, hess_carry, grad_l, step_prev, it, status,
+         prim_norm, qp_it, done) = carry
+
+        p_mat, qvec, a_mat, lvec, uvec, obj, constr = qp_at(z)
+
+        if cfg.use_BFGS:
+            grad_l_new = qvec + a_mat.T @ lam
+            delta_grad_l = grad_l_new - grad_l
+            hess = jnp.where(it == 0, p_mat,
+                             _bfgs_update(hess_carry, step_prev, delta_grad_l))
+            grad_l = grad_l_new
+        else:
+            hess = p_mat
+
+        # --- LLT positive-definiteness + NaN guards (osqp_interface.cpp:454-473)
+        chol = jnp.linalg.cholesky(hess)
+        non_pd = jnp.any(jnp.isnan(chol))
+        has_nan = jnp.any(jnp.isnan(hess))
+        guard_status = jnp.where(has_nan, Status.NAN_HESSIAN, Status.NON_PD_HESSIAN)
+        guard_fail = jnp.logical_or(non_pd, has_nan)
+
+        # --- QP solve (cold start, fresh instance semantics)
+        qp_sol = qp_admm.solve_qp(hess, qvec, a_mat, lvec - constr, uvec - constr,
+                                  max_iter=cfg.qp_max_iter,
+                                  check_every=cfg.qp_check_every)
+        step = qp_sol.x
+        y_qp = qp_sol.y
+
+        if cfg.do_SOC:
+            # second-order correction (`osqp_interface.cpp:658-681`)
+            z_soc = z + qp_data.denormalize_step(step, params)
+            c_soc, l_soc, u_soc = qp_data.constraint_values(
+                track, z_soc, rb, params, current_u, ts)
+            d = c_soc - a_mat @ step
+            qp_sol2 = qp_admm.solve_qp(hess, qvec, a_mat, l_soc - d, u_soc - d,
+                                       max_iter=cfg.qp_max_iter,
+                                       check_every=cfg.qp_check_every)
+            step = qp_sol2.x
+            y_qp = qp_sol2.y
+
+        step_lambda = y_qp - lam
+
+        # --- filter line search (single effective candidate; see module doc)
+        z_try = z + qp_data.denormalize_step(step, params)
+        obj_try, vio_try = eval_point(z_try)
+        dominated = jnp.any(jnp.logical_and(obj_try >= f_obj, vio_try >= f_vio))
+        accepted = ~dominated
+        alpha = jnp.where(accepted, 1.0, alpha_fail).astype(dtype)
+
+        # filter update on acceptance: drop dominated-or-equal entries, append
+        keep = jnp.logical_or(obj_try > f_obj, vio_try > f_vio)
+        f_obj_new = jnp.where(keep, f_obj, jnp.inf)
+        f_vio_new = jnp.where(keep, f_vio, jnp.inf)
+        f_obj_new = f_obj_new.at[f_cnt].set(obj_try)
+        f_vio_new = f_vio_new.at[f_cnt].set(vio_try)
+        f_obj = jnp.where(accepted, f_obj_new, f_obj)
+        f_vio = jnp.where(accepted, f_vio_new, f_vio)
+        f_cnt = jnp.where(accepted, f_cnt + 1, f_cnt)
+
+        # --- take step
+        z_new = z + alpha * qp_data.denormalize_step(step, params)
+        lam_new = lam + alpha * step_lambda
+        prim_norm_new = alpha * jnp.max(jnp.abs(step))
+        step_prev_new = alpha * step
+
+        converged = prim_norm_new < sqp.eps_prim
+
+        # guard failures abort with the guard status and no step
+        z_out = jnp.where(guard_fail, z, z_new)
+        lam_out = jnp.where(guard_fail, lam, lam_new)
+        status_new = jnp.where(guard_fail, guard_status,
+                               jnp.where(converged, Status.SOLVED,
+                                         Status.MAX_ITER_EXCEEDED))
+        done_new = jnp.logical_or(guard_fail, converged)
+
+        return (z_out, lam_out, f_obj, f_vio, f_cnt, hess, grad_l, step_prev_new,
+                it + 1, status_new, prim_norm_new, qp_it + qp_sol.iters, done_new)
+
+    init = (
+        z0,
+        jnp.zeros(N_CONSTR, dtype=dtype),
+        jnp.full(max_filter, jnp.inf, dtype=dtype),
+        jnp.full(max_filter, jnp.inf, dtype=dtype),
+        jnp.asarray(0),
+        jnp.zeros((N_VAR, N_VAR), dtype=dtype),
+        jnp.zeros(N_VAR, dtype=dtype),
+        jnp.zeros(N_VAR, dtype=dtype),
+        jnp.asarray(0),
+        jnp.asarray(Status.MAX_ITER_EXCEEDED),
+        jnp.asarray(jnp.inf, dtype=dtype),
+        jnp.asarray(0),
+        jnp.asarray(False),
+    )
+    (z, lam, _, _, _, _, _, _, it, status, prim_norm, qp_it, done) = \
+        jax.lax.while_loop(cond, body, init)
+
+    success = status == Status.SOLVED
+    # zero-velocity fallback guess (`osqp_interface.cpp:422-428, 587`)
+    xs0 = jnp.tile(z0[:NX], N + 1)
+    zero_guess = jnp.concatenate([xs0, jnp.zeros(NU * N, dtype=dtype)])
+    z_final = jnp.where(success, z, zero_guess)
+
+    return SQPResult(z=z_final, lam=lam, status=status, sqp_iters=it,
+                     qp_iters=qp_it, primal_step_norm=prim_norm, success=success)

@@ -1,0 +1,137 @@
+"""Spline tests mirroring the reference gtest suite (`spline_test.h`):
+
+* cubic spline reproduces cos(x) within the reference accuracy bounds
+  (mean errors <= 1e-4 / 1e-3 / 1e-1 for value / d / dd);
+* SO(3) spline derivative consistency Exp(w dx) R(x) ~ R(x+dx), error < 1e-2;
+* arc-length spline recovers a half circle from randomly spaced samples
+  (mean radial error <= 0.03);
+* projection recovers known arc-length positions.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mpcc_manipulator_tpu.splines import arc_length as als
+from mpcc_manipulator_tpu.splines import cubic, rotation
+from mpcc_manipulator_tpu.utils import so3
+
+
+def test_cubic_spline_reproduces_cos():
+    import jax
+    x = np.linspace(0, 2 * np.pi, 60)
+    sp = cubic.CubicSplineCoeffs.from_fit(x, np.cos(x))
+    xq = np.linspace(0, 2 * np.pi, 500)[:-1]
+    val = np.asarray(jax.vmap(lambda t: cubic.spline_value(sp, t))(jnp.asarray(xq)))
+    der = np.asarray(jax.vmap(lambda t: cubic.spline_derivative(sp, t))(jnp.asarray(xq)))
+    sec = np.asarray(jax.vmap(lambda t: cubic.spline_second_derivative(sp, t))(jnp.asarray(xq)))
+    assert np.mean(np.abs(val - np.cos(xq))) <= 1e-4
+    assert np.mean(np.abs(der + np.sin(xq))) <= 1e-3
+    assert np.mean(np.abs(sec + np.cos(xq))) <= 1e-1
+
+
+def test_cubic_spline_endpoint_semantics():
+    x = np.linspace(0, 1, 11)
+    sp = cubic.CubicSplineCoeffs.from_fit(x, x ** 2)
+    # value at end == y[-1]; derivative at end == 0 (reference branch)
+    assert np.isclose(float(cubic.spline_value(sp, jnp.asarray(1.0))), 1.0)
+    assert float(cubic.spline_derivative(sp, jnp.asarray(1.0))) == 0.0
+    # out-of-range clamps
+    assert np.isclose(float(cubic.spline_value(sp, jnp.asarray(2.0))), 1.0)
+    assert np.isclose(float(cubic.spline_value(sp, jnp.asarray(-1.0))), 0.0)
+
+
+def _rot_track(n=30):
+    """Smooth rotation sequence: rotation about a varying axis."""
+    ts = np.linspace(0, 1, n)
+    rots = []
+    for t in ts:
+        w = np.array([0.4 * np.sin(np.pi * t), 0.3 * t, 0.2 * np.cos(np.pi * t)])
+        rots.append(np.asarray(so3.exp_rot(jnp.asarray(w))))
+    return ts, np.stack(rots)
+
+
+def test_rot_spline_interpolates_knots():
+    ts, rots = _rot_track()
+    sp = rotation.RotSplineCoeffs.from_knots(ts, rots)
+    for i in [0, 7, 15, 29]:
+        r = rotation.rot_spline_value(sp, jnp.asarray(ts[i]))
+        assert np.allclose(r, rots[i], atol=1e-9)
+
+
+def test_rot_spline_derivative_consistency():
+    # reference test: Exp(w(x) dx) R(x) ~ R(x + dx)
+    ts, rots = _rot_track()
+    sp = rotation.RotSplineCoeffs.from_knots(ts, rots)
+    dx = 1e-3
+    errs = []
+    for t in np.linspace(0.01, 0.95, 25):
+        r = np.asarray(rotation.rot_spline_value(sp, jnp.asarray(t)))
+        w = np.asarray(rotation.rot_spline_derivative(sp, jnp.asarray(t)))
+        r_pred = np.asarray(so3.exp_rot(jnp.asarray(w * dx))) @ r
+        r_true = np.asarray(rotation.rot_spline_value(sp, jnp.asarray(t + dx)))
+        errs.append(np.abs(r_pred - r_true).max())
+    assert np.max(errs) < 1e-2
+
+
+def _half_circle_track(n=50, radius=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    phi = np.sort(rng.uniform(0, np.pi, n))
+    phi[0], phi[-1] = 0.0, np.pi
+    x = radius * np.cos(phi)
+    y = radius * np.sin(phi)
+    z = np.zeros(n)
+    rots = np.tile(np.eye(3), (n, 1, 1))
+    return x, y, z, rots
+
+
+def test_arc_length_spline_half_circle():
+    x, y, z, rots = _half_circle_track()
+    tr = als.gen_6d_spline(x, y, z, rots)
+    # total length ~ pi * r
+    assert abs(float(tr.length) - np.pi) < 0.05
+    # points on the spline stay on the circle
+    ss = np.linspace(0, float(tr.length), 200)
+    errs = []
+    for s in ss:
+        p = np.asarray(als.track_position(tr, jnp.asarray(s)))
+        errs.append(abs(np.linalg.norm(p[:2]) - 1.0))
+    assert np.mean(errs) <= 0.03
+    # derivative is ~unit speed (arc-length parameterization)
+    speeds = [np.linalg.norm(np.asarray(als.track_derivative(tr, jnp.asarray(s))))
+              for s in ss[5:-5]]
+    assert abs(np.mean(speeds) - 1.0) < 0.05
+
+
+def test_projection_recovers_position():
+    x, y, z, rots = _half_circle_track()
+    tr = als.gen_6d_spline(x, y, z, rots)
+    for s_true in [0.3, 1.0, 2.2]:
+        p = als.track_position(tr, jnp.asarray(s_true))
+        # perturb guess slightly; projection should come back
+        s_proj = als.project_on_spline(tr, jnp.asarray(s_true + 0.02), p,
+                                       jnp.asarray(0.03))
+        assert abs(float(s_proj) - s_true) < 1e-3
+
+
+def test_projection_fallback_on_jump():
+    x, y, z, rots = _half_circle_track()
+    tr = als.gen_6d_spline(x, y, z, rots)
+    s_true = 1.5
+    p = als.track_position(tr, jnp.asarray(s_true))
+    # guess far away -> waypoint fallback (mask invalid -> global argmin)
+    s_proj = als.project_on_spline(tr, jnp.asarray(0.0), p, jnp.asarray(0.03))
+    assert abs(float(s_proj) - s_true) < 5e-2
+
+
+def test_reference_track_loads_and_fits():
+    import os
+    track_file = "/root/reference/cpp/Params/track.json"
+    if not os.path.exists(track_file):
+        import pytest
+        pytest.skip("reference track not available")
+    x, y, z, rots = als.load_track_waypoints(track_file)
+    x, y, z = als.shift_track_to(x, y, z, np.array([0.55, 0.0, 0.52]))
+    tr = als.gen_6d_spline(x, y, z, rots)
+    assert float(tr.length) > 0.5
+    p0 = np.asarray(als.track_position(tr, jnp.asarray(0.0)))
+    assert np.allclose(p0, [0.55, 0.0, 0.52], atol=1e-6)
