@@ -74,12 +74,15 @@ def _ruiz_equilibrate(p, q, a, l, u):
 
     def body(_, carry):
         p_s, q_s, a_s, d, e, c = carry
-        # column norms of [P; A] -> d update; row norms of A -> e update
+        # column norms of [P; A] -> d update; row norms of A -> e update.
+        # Structurally zero rows (e.g. the dVs slots of the ddq rate blocks,
+        # `osqp_interface.cpp:279-297`) keep scale 1 — amplifying them blows
+        # up to inf in float32.
         col_norm = jnp.maximum(
             jnp.max(jnp.abs(p_s), axis=0), jnp.max(jnp.abs(a_s), axis=0))
-        delta_d = 1.0 / jnp.sqrt(jnp.maximum(col_norm, 1e-12))
+        delta_d = jnp.where(col_norm < 1e-12, 1.0, 1.0 / jnp.sqrt(col_norm))
         row_norm = jnp.max(jnp.abs(a_s), axis=1)
-        delta_e = 1.0 / jnp.sqrt(jnp.maximum(row_norm, 1e-12))
+        delta_e = jnp.where(row_norm < 1e-12, 1.0, 1.0 / jnp.sqrt(row_norm))
         p_s = delta_d[:, None] * p_s * delta_d[None, :]
         q_s = delta_d * q_s
         a_s = delta_e[:, None] * a_s * delta_d[None, :]

@@ -119,7 +119,13 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
             hess = p_mat
 
         # --- LLT positive-definiteness + NaN guards (osqp_interface.cpp:454-473)
-        chol = jnp.linalg.cholesky(hess)
+        # The GN + Tikhonov Hessian is PD by construction but its q-block is
+        # nearly rank-6 (3-D position + heading GN terms), so a float32
+        # Cholesky fails on pure roundoff; the guard check (only) gets a
+        # dtype-relative jitter.  In float64 (conformance mode) the jitter is
+        # ~1e-12 relative and the check matches the reference LLT exactly.
+        jitter = (N_VAR * jnp.finfo(dtype).eps) * jnp.max(jnp.abs(jnp.diag(hess)))
+        chol = jnp.linalg.cholesky(hess + jitter * jnp.eye(N_VAR, dtype=dtype))
         non_pd = jnp.any(jnp.isnan(chol))
         has_nan = jnp.any(jnp.isnan(hess))
         guard_status = jnp.where(has_nan, Status.NAN_HESSIAN, Status.NON_PD_HESSIAN)

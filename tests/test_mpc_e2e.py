@@ -1,0 +1,105 @@
+"""End-to-end MPC tests: one tick + short closed loop on the round track.
+
+These are the conformance-critical integration checks: the returned horizon
+must satisfy the discretized dynamics, respect bounds, make path progress,
+and the closed loop must track the path with bounded contouring error.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpcc_manipulator_tpu.config import N, NU, NX, PANDA_DOF, StateIndex
+from mpcc_manipulator_tpu.models import collision_nn as cnn
+from mpcc_manipulator_tpu.models import dynamics as dyn
+from mpcc_manipulator_tpu.models import kinematics as kin
+from mpcc_manipulator_tpu.mpc import init_carry, mpc_step
+from mpcc_manipulator_tpu.params import SQPConfig, load_params
+from mpcc_manipulator_tpu.splines import arc_length as als
+
+TS = 0.01
+
+
+@pytest.fixture(scope="module")
+def problem():
+    params, _ = load_params()
+    cfg = SQPConfig(max_iter=20, qp_max_iter=400)
+    sel_nn = cnn.load_self_collision_nn()
+    env_nn = cnn.load_env_collision_nn()
+    x0 = jnp.asarray([0., 0., 0., -np.pi / 2, 0., np.pi / 2, np.pi / 4, 0., 0.])
+    ee = np.asarray(kin.ee_position(x0[:PANDA_DOF]))
+    nt = 100
+    phi = np.linspace(0, 2 * np.pi, nt)
+    x = np.zeros(nt) + ee[0]
+    y = 0.15 * np.cos(phi) - 0.15 + ee[1]
+    z = 0.15 * np.sin(phi) + ee[2]
+    rots = np.tile(np.asarray(kin.ee_orientation(x0[:PANDA_DOF])), (nt, 1, 1))
+    track = als.gen_6d_spline(x, y, z, rots)
+    return params, cfg, sel_nn, env_nn, track, x0
+
+
+def test_single_tick(problem):
+    params, cfg, sel_nn, env_nn, track, x0 = problem
+    carry = init_carry(x0.dtype)
+    u0 = jnp.zeros(NU, dtype=x0.dtype)
+    obs = jnp.asarray([3.0, 3.0, 3.0], dtype=x0.dtype)
+    carry, out = mpc_step(track, params, sel_nn, env_nn, carry, x0, u0, obs,
+                          0.0, ts=TS, cfg=cfg)
+    assert bool(out.ok)
+    xs, us = np.asarray(out.horizon_x), np.asarray(out.horizon_u)
+
+    # horizon satisfies the discrete dynamics (the converged SQP iterate is
+    # feasible up to the linearization defect tolerance)
+    ad, bd, gd = dyn.discrete_ab(TS)
+    defects = xs[1:] - (xs[:-1] @ ad.T + us @ bd.T + gd)
+    assert np.max(np.abs(defects)) < 5e-2
+
+    # bounds hold (with small QP tolerance slack)
+    b = params.bounds
+    assert np.all(us <= np.asarray(b.u_u)[None, :] + 1e-3)
+    assert np.all(us >= np.asarray(b.u_l)[None, :] - 1e-3)
+    assert np.all(xs[:, :7] <= np.asarray(b.x_u)[None, :7] + 1e-3)
+
+    # x_0 is pinned at the (projected) initial state
+    assert np.allclose(xs[0], np.asarray(out.x0_updated), atol=1e-6)
+
+
+def test_closed_loop_progress(problem):
+    params, cfg, sel_nn, env_nn, track, x0 = problem
+    carry = init_carry(x0.dtype)
+    x = x0
+    u = jnp.zeros(NU, dtype=x0.dtype)
+    obs = jnp.asarray([3.0, 3.0, 3.0], dtype=x0.dtype)
+    s_hist, cont_err = [], []
+    for _ in range(40):
+        carry, out = mpc_step(track, params, sel_nn, env_nn, carry, x, u, obs,
+                              0.0, ts=TS, cfg=cfg)
+        assert bool(out.ok)
+        u = out.u0
+        x = dyn.sim_time_step(out.x0_updated, u, TS)
+        s_hist.append(float(x[StateIndex.s]))
+        ee = np.asarray(kin.ee_position(x[:PANDA_DOF]))
+        ref = np.asarray(als.track_position(track, x[StateIndex.s]))
+        cont_err.append(np.linalg.norm(ee - ref))
+
+    # path progress is monotone and reaches a sensible speed
+    assert s_hist[-1] > 0.03
+    assert all(b >= a - 1e-9 for a, b in zip(s_hist, s_hist[1:]))
+    # contouring error stays small (cm scale)
+    assert max(cont_err) < 0.02
+
+
+def test_cold_vs_warm_start_consistency(problem):
+    # a second tick from the same state with a valid warm start should solve
+    # in fewer or equal SQP iterations
+    params, cfg, sel_nn, env_nn, track, x0 = problem
+    carry = init_carry(x0.dtype)
+    u0 = jnp.zeros(NU, dtype=x0.dtype)
+    obs = jnp.asarray([3.0, 3.0, 3.0], dtype=x0.dtype)
+    carry, out1 = mpc_step(track, params, sel_nn, env_nn, carry, x0, u0, obs,
+                           0.0, ts=TS, cfg=cfg)
+    carry, out2 = mpc_step(track, params, sel_nn, env_nn, carry,
+                           out1.x0_updated, out1.u0, obs, 0.0, ts=TS, cfg=cfg)
+    assert bool(out2.ok)
+    assert int(out2.sqp_iters) <= int(out1.sqp_iters) + 1
