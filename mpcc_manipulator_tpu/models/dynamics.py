@@ -68,9 +68,14 @@ def euler_step(x: jnp.ndarray, u: jnp.ndarray, ts) -> jnp.ndarray:
     return x + ts * dynamics_f(x, u)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("ts", "fine_step"))
 def sim_time_step(x: jnp.ndarray, u: jnp.ndarray, ts: float,
                   fine_step: float = FINE_TIME_STEP) -> jnp.ndarray:
     """Plant integration: repeated RK4 at 1 ms substeps
-    (`Integrator::simTimeStep`)."""
+    (`Integrator::simTimeStep`).  jitted with static step counts so repeated
+    host-loop calls hit the compile cache."""
     n = int(round(ts / fine_step))
     return jax.lax.fori_loop(0, n, lambda _, xc: rk4_step(xc, u, fine_step), x)

@@ -41,11 +41,14 @@ from .splines.arc_length import TrackSpline
 
 @struct.dataclass
 class MPCCarry:
-    """Tick-to-tick solver state (reference `mpc.h:118-126`)."""
+    """Tick-to-tick solver state (reference `mpc.h:118-126`), plus the last
+    QP primal/dual for cross-tick ADMM warm starts (speed-only extension)."""
 
     z_guess: jnp.ndarray           # (N_VAR,) last horizon (raw units)
     valid_guess: jnp.ndarray       # bool
     num_guess_failed: jnp.ndarray  # int32 consecutive-failure counter
+    qp_x: jnp.ndarray              # (N_VAR,) last QP primal step
+    qp_y: jnp.ndarray              # (N_CONSTR,) last QP dual
 
 
 @struct.dataclass
@@ -65,6 +68,8 @@ def init_carry(dtype=jnp.float32) -> MPCCarry:
         z_guess=jnp.zeros(N_VAR, dtype=dtype),
         valid_guess=jnp.asarray(False),
         num_guess_failed=jnp.asarray(0, dtype=jnp.int32),
+        qp_x=jnp.zeros(N_VAR, dtype=dtype),
+        qp_y=jnp.zeros(N_CONSTR, dtype=dtype),
     )
 
 
@@ -130,9 +135,12 @@ def mpc_step(track: TrackSpline, params: MPCCParams, sel_nn: cnn.MLPParams,
     xs0, _ = qp_data.split_z(z0)
     rb = compute_robot_data(xs0[:, :PANDA_DOF], obs_pos, obs_radius, sel_nn, env_nn)
 
-    # --- 5. SQP
+    # --- 5. SQP (QP warm start carried across ticks; zeroed on cold start)
+    qp_x0 = jnp.where(valid, carry.qp_x, 0.0)
+    qp_y0 = jnp.where(valid, carry.qp_y, 0.0)
     res = sqp_mod.solve_ocp(track, rb, params, cfg, z0, u0, ts,
-                            exact_heading_jac=exact_heading_jac)
+                            exact_heading_jac=exact_heading_jac,
+                            qp_x0=qp_x0, qp_y0=qp_y0)
 
     # --- 6. status machine (`mpc.cpp:138-188`)
     solved = res.success
@@ -144,8 +152,12 @@ def mpc_step(track: TrackSpline, params: MPCCParams, sel_nn: cnn.MLPParams,
                         n_failed_next < 5))
 
     xs, us = qp_data.split_z(res.z)
-    new_carry = MPCCarry(z_guess=res.z, valid_guess=valid_next,
-                         num_guess_failed=n_failed_next)
+    # strong-type the carry leaves: a weak-typed bool here changes the jit
+    # cache key on the next tick and silently recompiles the whole step
+    new_carry = MPCCarry(z_guess=res.z,
+                         valid_guess=valid_next.astype(jnp.bool_),
+                         num_guess_failed=n_failed_next,
+                         qp_x=res.qp_x, qp_y=res.qp_y)
     out = MPCOutput(u0=us[0], x0_updated=x0_new, horizon_x=xs, horizon_u=us,
                     status=res.status, ok=ok, sqp_iters=res.sqp_iters,
                     qp_iters=res.qp_iters)

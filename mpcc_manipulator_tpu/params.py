@@ -229,6 +229,10 @@ class SQPConfig:
     use_BFGS: bool = False
     qp_max_iter: int = 400
     qp_check_every: int = 25
+    # Warm-start each SQP iteration's ADMM from the previous iteration's
+    # primal/dual solution.  Speed-only deviation from the reference's
+    # cold-per-QP OSQP usage; set False for strict cold-start semantics.
+    qp_warm_start: bool = True
 
 
 def load_sqp_params(file: str, overrides: Mapping[str, float] | None = None,

@@ -117,9 +117,17 @@ def _factor(p, a, rho):
 
 
 @partial(jax.jit, static_argnames=("max_iter", "check_every"))
-def solve_qp(p, q, a, l, u, max_iter: int = 400, check_every: int = 25) -> QPSolution:
-    """Solve one dense QP.  Cold-started (x=z=y=0), like the reference's
-    fresh-OSQP-instance-per-QP usage (`osqp_interface.cpp:620-622`)."""
+def solve_qp(p, q, a, l, u, max_iter: int = 400, check_every: int = 25,
+             x_warm=None, y_warm=None) -> QPSolution:
+    """Solve one dense QP.
+
+    Default is cold start (x=z=y=0), matching the reference's
+    fresh-OSQP-instance-per-QP usage (`osqp_interface.cpp:620-622`).
+    ``x_warm``/``y_warm`` (unscaled) warm-start the splitting — successive
+    SQP iterations' QPs differ only by relinearization, so reusing the
+    previous primal/dual solution typically cuts ADMM iterations several-fold
+    while converging to the same QP solution (a speed-only deviation).
+    """
     dtype = p.dtype
     m, n = a.shape
 
@@ -183,9 +191,15 @@ def solve_qp(p, q, a, l, u, max_iter: int = 400, check_every: int = 25) -> QPSol
         kinv1 = jax.lax.cond(adapt, lambda: _factor(p_s, a_s, rho1), lambda: kinv)
         return (x, z, y, rho1, kinv1, it), done
 
-    x0 = jnp.zeros(n, dtype=dtype)
-    z0 = jnp.zeros(m, dtype=dtype)
-    y0 = jnp.zeros(m, dtype=dtype)
+    if x_warm is None:
+        x0 = jnp.zeros(n, dtype=dtype)
+        z0 = jnp.zeros(m, dtype=dtype)
+        y0 = jnp.zeros(m, dtype=dtype)
+    else:
+        # scale the unscaled warm start into the equilibrated space
+        x0 = x_warm / d_scl
+        z0 = a_s @ x0
+        y0 = c_scl * y_warm / e_scl
     init = ((x0, z0, y0, rho0, kinv0, jnp.asarray(0)), jnp.asarray(False))
     (x, z, y, rho, _, it), done = jax.lax.while_loop(cond, body, init)
 

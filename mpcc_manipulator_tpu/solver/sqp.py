@@ -58,6 +58,8 @@ class SQPResult:
     qp_iters: jnp.ndarray     # cumulative ADMM iterations
     primal_step_norm: jnp.ndarray
     success: jnp.ndarray      # status == SOLVED
+    qp_x: jnp.ndarray         # last QP primal (for cross-tick warm starts)
+    qp_y: jnp.ndarray         # last QP dual
 
 
 def constraint_norm(constr, l, u):
@@ -82,8 +84,14 @@ def _bfgs_update(hess, step_prev, delta_grad_l):
 
 def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
               cfg: SQPConfig, z0: jnp.ndarray, current_u: jnp.ndarray, ts: float,
-              exact_heading_jac: bool = False) -> SQPResult:
-    """Run the full SQP loop from warm-start iterate ``z0``."""
+              exact_heading_jac: bool = False,
+              qp_x0: jnp.ndarray | None = None,
+              qp_y0: jnp.ndarray | None = None) -> SQPResult:
+    """Run the full SQP loop from warm-start iterate ``z0``.
+
+    ``qp_x0``/``qp_y0`` optionally seed the first QP's ADMM warm start
+    (cross-tick warm starting); zeros reproduce the cold-start reference
+    behavior."""
     dtype = z0.dtype
     max_filter = cfg.max_iter + 1
     sqp = params.sqp
@@ -100,12 +108,12 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
 
     def cond(carry):
         (z, lam, f_obj, f_vio, f_cnt, hess, grad_l, step_prev, it, status,
-         prim_norm, qp_it, done) = carry
+         prim_norm, qp_it, done, qp_x, qp_y) = carry
         return jnp.logical_and(~done, it < cfg.max_iter)
 
     def body(carry):
         (z, lam, f_obj, f_vio, f_cnt, hess_carry, grad_l, step_prev, it, status,
-         prim_norm, qp_it, done) = carry
+         prim_norm, qp_it, done, qp_x, qp_y) = carry
 
         p_mat, qvec, a_mat, lvec, uvec, obj, constr = qp_at(z)
 
@@ -131,10 +139,12 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         guard_status = jnp.where(has_nan, Status.NAN_HESSIAN, Status.NON_PD_HESSIAN)
         guard_fail = jnp.logical_or(non_pd, has_nan)
 
-        # --- QP solve (cold start, fresh instance semantics)
+        # --- QP solve (warm-started across SQP iterations when enabled;
+        # iteration 0 always starts from zeros = reference cold start)
+        warm = dict(x_warm=qp_x, y_warm=qp_y) if cfg.qp_warm_start else {}
         qp_sol = qp_admm.solve_qp(hess, qvec, a_mat, lvec - constr, uvec - constr,
                                   max_iter=cfg.qp_max_iter,
-                                  check_every=cfg.qp_check_every)
+                                  check_every=cfg.qp_check_every, **warm)
         step = qp_sol.x
         y_qp = qp_sol.y
 
@@ -186,7 +196,8 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         done_new = jnp.logical_or(guard_fail, converged)
 
         return (z_out, lam_out, f_obj, f_vio, f_cnt, hess, grad_l, step_prev_new,
-                it + 1, status_new, prim_norm_new, qp_it + qp_sol.iters, done_new)
+                it + 1, status_new, prim_norm_new, qp_it + qp_sol.iters, done_new,
+                qp_sol.x, qp_sol.y)
 
     init = (
         z0,
@@ -202,8 +213,10 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         jnp.asarray(jnp.inf, dtype=dtype),
         jnp.asarray(0),
         jnp.asarray(False),
+        qp_x0 if qp_x0 is not None else jnp.zeros(N_VAR, dtype=dtype),
+        qp_y0 if qp_y0 is not None else jnp.zeros(N_CONSTR, dtype=dtype),
     )
-    (z, lam, _, _, _, _, _, _, it, status, prim_norm, qp_it, done) = \
+    (z, lam, _, _, _, _, _, _, it, status, prim_norm, qp_it, done, qp_x, qp_y) = \
         jax.lax.while_loop(cond, body, init)
 
     success = status == Status.SOLVED
@@ -213,4 +226,5 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
     z_final = jnp.where(success, z, zero_guess)
 
     return SQPResult(z=z_final, lam=lam, status=status, sqp_iters=it,
-                     qp_iters=qp_it, primal_step_norm=prim_norm, success=success)
+                     qp_iters=qp_it, primal_step_norm=prim_norm, success=success,
+                     qp_x=qp_x, qp_y=qp_y)
