@@ -31,9 +31,13 @@ def main():
     dtype = jnp.float32
     track, params, _, sel_nn, env_nn, carry, x0, u0, obs = _build_problem(
         dtype, small=False)
-    # production solver budgets: SQP cap matches the reference (100); ADMM
-    # budget plays the role of OSQP's 2 ms time limit.
-    cfg = SQPConfig(max_iter=20, qp_max_iter=200, qp_check_every=25)
+    # production solver budgets: ADMM budget plays the role of OSQP's 2 ms
+    # time limit; the fused Pallas kernel is the TPU hot path (QP matrices
+    # pinned in VMEM across the whole iteration loop).
+    backend = os.environ.get("MPCC_QP_BACKEND",
+                             "xla")  # pallas kernel opt-in until burn-in done
+    cfg = SQPConfig(max_iter=20, qp_max_iter=200, qp_check_every=25,
+                    qp_backend=backend)
 
     from mpcc_manipulator_tpu.mpc import mpc_step
 

@@ -95,13 +95,29 @@ SELF_HIDDEN = (256, 64)
 ENV_HIDDEN = (256, 256, 256, 256)
 
 
+def _loadtxt(path: str) -> np.ndarray:
+    """Flat float array from a text file — native fast parser when the
+    runtime library is built, numpy fallback otherwise."""
+    try:
+        from ..runtime.native import parse_floats
+        return parse_floats(path)
+    except Exception:
+        return np.loadtxt(path, dtype=np.float64).reshape(-1)
+
+
+def _count_rows(path: str) -> int:
+    with open(path, "r") as f:
+        return sum(1 for line in f if line.strip())
+
+
 def _load_txt_dir(directory: str, n_layers: int):
     ws, bs = [], []
     for i in range(n_layers):
-        ws.append(np.loadtxt(os.path.join(directory, f"weight_{i}.txt"), dtype=np.float64))
-        b = np.loadtxt(os.path.join(directory, f"bias_{i}.txt"), dtype=np.float64)
-        bs.append(np.atleast_1d(b))
-    ws[-1] = np.atleast_2d(ws[-1])
+        wfile = os.path.join(directory, f"weight_{i}.txt")
+        rows = _count_rows(wfile)
+        flat = _loadtxt(wfile)
+        ws.append(flat.reshape(rows, -1))
+        bs.append(np.atleast_1d(_loadtxt(os.path.join(directory, f"bias_{i}.txt"))))
     return ws, bs
 
 

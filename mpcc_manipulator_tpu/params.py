@@ -233,6 +233,10 @@ class SQPConfig:
     # primal/dual solution.  Speed-only deviation from the reference's
     # cold-per-QP OSQP usage; set False for strict cold-start semantics.
     qp_warm_start: bool = True
+    # QP iteration backend: "xla" (lax.while_loop; CPU/f64), "pallas"
+    # (fused VMEM-resident TPU kernel), "pallas_interpret" (kernel under the
+    # interpreter, for CPU testing).
+    qp_backend: str = "xla"
 
 
 def load_sqp_params(file: str, overrides: Mapping[str, float] | None = None,

@@ -59,8 +59,14 @@ def main():
     robot = compat.RobotModel()
     selcol = compat.SelfCollisionNN()
     total_times = []
-    debug_rows = []
     end_pos, end_ori, end_s = spline_pos[-1], spline_ori[-1], spline_s[-1]
+
+    # per-tick telemetry through the native non-blocking ring buffer
+    # (falls back to in-memory buffering without the C++ library)
+    from .native import TelemetryRing
+    debug_record_len = 7 + 7 + 3 + 5   # q, dq, ee_pos, [mani, min_dist, s, vs, t]
+    debug_ring = TelemetryRing(os.path.join(args.out_dir, "debug.txt"),
+                               debug_record_len, capacity=8192, text_mode=True)
 
     for tick in range(n_sim):
         ok, state, inp, horizon, ct = mpc.runMPC(state, inp)
@@ -77,7 +83,7 @@ def main():
         ee_ori = robot.getEEOrientation(q)
         mani = robot.getEEManipulability(q)
         min_dist, _ = selcol.calculateMlpOutput(q)
-        debug_rows.append(np.concatenate(
+        debug_ring.append(np.concatenate(
             [q, inp[:7], ee_pos, [mani, float(min_dist[0]), state[7], state[8],
                                   ct["total"]]]))
 
@@ -93,9 +99,9 @@ def main():
             print("End point reached!!!")
             break
 
-    with open(os.path.join(args.out_dir, "debug.txt"), "w") as f:
-        for row in debug_rows:
-            f.write(" ".join(map(str, row)) + "\n")
+    debug_ring.close()
+    if debug_ring.dropped:
+        print(f"warning: telemetry ring dropped {debug_ring.dropped} records")
 
     times = np.asarray(total_times[1:]) if len(total_times) > 1 else np.asarray(total_times)
     print(f"ticks: {len(total_times)}  "

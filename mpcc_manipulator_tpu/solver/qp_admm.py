@@ -116,9 +116,9 @@ def _factor(p, a, rho):
     return inv_l.T @ inv_l
 
 
-@partial(jax.jit, static_argnames=("max_iter", "check_every"))
+@partial(jax.jit, static_argnames=("max_iter", "check_every", "backend"))
 def solve_qp(p, q, a, l, u, max_iter: int = 400, check_every: int = 25,
-             x_warm=None, y_warm=None) -> QPSolution:
+             x_warm=None, y_warm=None, backend: str = "xla") -> QPSolution:
     """Solve one dense QP.
 
     Default is cold start (x=z=y=0), matching the reference's
@@ -153,9 +153,8 @@ def solve_qp(p, q, a, l, u, max_iter: int = 400, check_every: int = 25,
             jnp.max(jnp.abs(d_scl * q_s))) / c_scl
         return r_prim, r_dual, s_prim, s_dual
 
-    def admm_chunk(state):
-        """``check_every`` plain ADMM iterations (no termination checks)."""
-        x, z, y, rho, kinv, it = state
+    def admm_iters(x, z, y, rho, kinv, n_iters):
+        """``n_iters`` plain ADMM iterations (no termination checks)."""
 
         def one(_, xs):
             x, z, y = xs
@@ -167,29 +166,7 @@ def solve_qp(p, q, a, l, u, max_iter: int = 400, check_every: int = 25,
             y1 = y + rho * (z_relax - z1)
             return x1, z1, y1
 
-        x, z, y = jax.lax.fori_loop(0, check_every, one, (x, z, y))
-        return x, z, y, rho, kinv, it + check_every
-
-    def cond(carry):
-        state, done = carry
-        _, _, _, _, _, it = state
-        return jnp.logical_and(~done, it < max_iter)
-
-    def body(carry):
-        state, _ = carry
-        x, z, y, rho, kinv, it = admm_chunk(state)
-        r_p, r_d, s_p, s_d = residuals(x, z, y)
-        done = jnp.logical_and(r_p <= EPS_ABS + EPS_REL * s_p,
-                               r_d <= EPS_ABS + EPS_REL * s_d)
-        # adaptive rho (OSQP): scale by sqrt of the residual ratio
-        ratio = jnp.sqrt((r_p / jnp.maximum(s_p, 1e-12))
-                         / jnp.maximum(r_d / jnp.maximum(s_d, 1e-12), 1e-12))
-        adapt = jnp.logical_and(~done,
-                                jnp.logical_or(ratio > 5.0, ratio < 0.2))
-        new_rho = jnp.clip(rho * ratio, RHO_MIN, RHO_MAX)
-        rho1 = jnp.where(adapt, new_rho, rho)
-        kinv1 = jax.lax.cond(adapt, lambda: _factor(p_s, a_s, rho1), lambda: kinv)
-        return (x, z, y, rho1, kinv1, it), done
+        return jax.lax.fori_loop(0, n_iters, one, (x, z, y))
 
     if x_warm is None:
         x0 = jnp.zeros(n, dtype=dtype)
@@ -200,8 +177,63 @@ def solve_qp(p, q, a, l, u, max_iter: int = 400, check_every: int = 25,
         x0 = x_warm / d_scl
         z0 = a_s @ x0
         y0 = c_scl * y_warm / e_scl
-    init = ((x0, z0, y0, rho0, kinv0, jnp.asarray(0)), jnp.asarray(False))
-    (x, z, y, rho, _, it), done = jax.lax.while_loop(cond, body, init)
+
+    def run_chunks(x, z, y, rho, kinv, budget: int, done_init):
+        """Iterate in ``check_every`` chunks until converged or ``budget``
+        iterations are spent.  Returns (x, z, y, iters_used, done).
+
+        backend="pallas": the whole loop runs inside one fused TPU kernel
+        with K^-1/P/A pinned in VMEM (ops/pallas_admm.py).
+        backend="pallas_interpret": same kernel, interpreter mode (tests).
+        backend="xla": plain lax.while_loop (CPU / float64 path).
+        """
+        if backend.startswith("pallas"):
+            from ..ops.pallas_admm import fused_admm
+            x, z, y, it = fused_admm(
+                kinv, p_s, a_s, q_s, rho, l_s, u_s, d_scl, e_scl, c_scl,
+                x, z, y, max_iter=budget, check_every=check_every,
+                sigma=SIGMA, alpha=ALPHA, eps_abs=EPS_ABS, eps_rel=EPS_REL,
+                interpret=(backend == "pallas_interpret"))
+            x, z, y = x.astype(dtype), z.astype(dtype), y.astype(dtype)
+            r_p, r_d, s_p, s_d = residuals(x, z, y)
+            done = jnp.logical_and(r_p <= EPS_ABS + EPS_REL * s_p,
+                                   r_d <= EPS_ABS + EPS_REL * s_d)
+            return x, z, y, it, done
+
+        def cond(carry):
+            x, z, y, it, done = carry
+            return jnp.logical_and(~done, it < budget)
+
+        def body(carry):
+            x, z, y, it, _ = carry
+            x, z, y = admm_iters(x, z, y, rho, kinv, check_every)
+            r_p, r_d, s_p, s_d = residuals(x, z, y)
+            done = jnp.logical_and(r_p <= EPS_ABS + EPS_REL * s_p,
+                                   r_d <= EPS_ABS + EPS_REL * s_d)
+            return x, z, y, it + check_every, done
+
+        return jax.lax.while_loop(
+            cond, body, (x, z, y, jnp.asarray(0), done_init))
+
+    # ---- phase 1: one check interval, then a single adaptive-rho point.
+    # OSQP adapts rho whenever the residual ratio drifts; under vmap a
+    # cond() lowers to select(), so a factorization inside the main loop
+    # would run for every lane at every check.  One fixed adapt point keeps
+    # the number of (batched) factorizations at exactly two.
+    x, z, y, it1, done0 = run_chunks(x0, z0, y0, rho0, kinv0, check_every,
+                                     jnp.asarray(False))
+    r_p, r_d, s_p, s_d = residuals(x, z, y)
+    ratio = jnp.sqrt((r_p / jnp.maximum(s_p, 1e-12))
+                     / jnp.maximum(r_d / jnp.maximum(s_d, 1e-12), 1e-12))
+    adapt = jnp.logical_and(~done0, jnp.logical_or(ratio > 5.0, ratio < 0.2))
+    rho = jnp.where(adapt, jnp.clip(rho0 * ratio, RHO_MIN, RHO_MAX), rho0)
+    kinv = jnp.where(adapt, _factor(p_s, a_s, rho), kinv0)
+    # (no y rescaling needed: y is rho-independent)
+
+    # ---- phase 2: pure-matvec chunks with termination checks
+    x, z, y, it2, done = run_chunks(x, z, y, rho, kinv,
+                                    max(max_iter - check_every, 0), done0)
+    it = it1 + it2
 
     r_p, r_d, _, _ = residuals(x, z, y)
     # unscale solution

@@ -144,7 +144,8 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         warm = dict(x_warm=qp_x, y_warm=qp_y) if cfg.qp_warm_start else {}
         qp_sol = qp_admm.solve_qp(hess, qvec, a_mat, lvec - constr, uvec - constr,
                                   max_iter=cfg.qp_max_iter,
-                                  check_every=cfg.qp_check_every, **warm)
+                                  check_every=cfg.qp_check_every,
+                                  backend=cfg.qp_backend, **warm)
         step = qp_sol.x
         y_qp = qp_sol.y
 
@@ -156,7 +157,8 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
             d = c_soc - a_mat @ step
             qp_sol2 = qp_admm.solve_qp(hess, qvec, a_mat, l_soc - d, u_soc - d,
                                        max_iter=cfg.qp_max_iter,
-                                       check_every=cfg.qp_check_every)
+                                       check_every=cfg.qp_check_every,
+                                       backend=cfg.qp_backend)
             step = qp_sol2.x
             y_qp = qp_sol2.y
 
