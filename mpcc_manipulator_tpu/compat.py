@@ -105,6 +105,15 @@ class RobotModel:
     def getDManipulability(self, joint_angle):
         return np.asarray(kin.manipulability_gradient_fd(self._q(joint_angle)))
 
+    def getMassMatrix(self, joint_angle):
+        from .models import rigid_body
+        return np.asarray(rigid_body.mass_matrix(self._q(joint_angle)))
+
+    def getNonlinearEffect(self, joint_angle, joint_velocity):
+        from .models import rigid_body
+        qd = jnp.asarray(np.asarray(joint_velocity), dtype=jnp.float64)
+        return np.asarray(rigid_body.nonlinear_effects(self._q(joint_angle), qd))
+
 
 class _CollisionNN:
     def __init__(self, loader, expected_input):

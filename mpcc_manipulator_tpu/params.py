@@ -237,6 +237,10 @@ class SQPConfig:
     # (fused VMEM-resident TPU kernel), "pallas_interpret" (kernel under the
     # interpreter, for CPU testing).
     qp_backend: str = "xla"
+    # Line-search strategy: "filter" (reference default,
+    # `osqp_interface.cpp:543`) or "merit" (the reference's unused l1-merit
+    # Armijo variant, `osqp_interface.cpp:717-757`).
+    line_search: str = "filter"
 
 
 def load_sqp_params(file: str, overrides: Mapping[str, float] | None = None,

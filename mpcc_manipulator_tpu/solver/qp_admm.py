@@ -78,11 +78,12 @@ def _ruiz_equilibrate(p, q, a, l, u):
         # Structurally zero rows (e.g. the dVs slots of the ddq rate blocks,
         # `osqp_interface.cpp:279-297`) keep scale 1 — amplifying them blows
         # up to inf in float32.
+        one = jnp.ones((), dtype=p_s.dtype)
         col_norm = jnp.maximum(
             jnp.max(jnp.abs(p_s), axis=0), jnp.max(jnp.abs(a_s), axis=0))
-        delta_d = jnp.where(col_norm < 1e-12, 1.0, 1.0 / jnp.sqrt(col_norm))
+        delta_d = jnp.where(col_norm < 1e-12, one, one / jnp.sqrt(col_norm))
         row_norm = jnp.max(jnp.abs(a_s), axis=1)
-        delta_e = jnp.where(row_norm < 1e-12, 1.0, 1.0 / jnp.sqrt(row_norm))
+        delta_e = jnp.where(row_norm < 1e-12, one, one / jnp.sqrt(row_norm))
         p_s = delta_d[:, None] * p_s * delta_d[None, :]
         q_s = delta_d * q_s
         a_s = delta_e[:, None] * a_s * delta_d[None, :]
@@ -90,8 +91,9 @@ def _ruiz_equilibrate(p, q, a, l, u):
         e = e * delta_e
         # cost scaling: normalize mean column norm of P / inf-norm of q
         p_col = jnp.max(jnp.abs(p_s), axis=0)
-        gamma = 1.0 / jnp.maximum(
-            jnp.maximum(jnp.mean(p_col), jnp.max(jnp.abs(q_s))), 1e-12)
+        gamma = one / jnp.maximum(
+            jnp.maximum(jnp.mean(p_col), jnp.max(jnp.abs(q_s))),
+            jnp.asarray(1e-12, dtype=p_s.dtype))
         p_s = p_s * gamma
         q_s = q_s * gamma
         c = c * gamma

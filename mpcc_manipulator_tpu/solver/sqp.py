@@ -164,22 +164,46 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
 
         step_lambda = y_qp - lam
 
-        # --- filter line search (single effective candidate; see module doc)
-        z_try = z + qp_data.denormalize_step(step, params)
-        obj_try, vio_try = eval_point(z_try)
-        dominated = jnp.any(jnp.logical_and(obj_try >= f_obj, vio_try >= f_vio))
-        accepted = ~dominated
-        alpha = jnp.where(accepted, 1.0, alpha_fail).astype(dtype)
+        if cfg.line_search == "merit":
+            # l1-merit Armijo search (`meritLineSearch`): all candidate
+            # alphas evaluated batched, first Armijo-satisfying one taken;
+            # falls through to the last candidate like the reference loop.
+            vio0 = constraint_norm(constr, lvec, uvec)
+            mu = ((jnp.dot(qvec, step) + 0.5 * jnp.dot(step, hess @ step))
+                  / ((1.0 - sqp.line_search_rho) * jnp.maximum(vio0, 1e-12)))
+            phi0 = obj + mu * vio0
+            dp_phi = jnp.dot(qvec, step) - mu * vio0
+            alphas = sqp.line_search_tau ** jnp.arange(
+                cfg.line_search_max_iter, dtype=dtype)
 
-        # filter update on acceptance: drop dominated-or-equal entries, append
-        keep = jnp.logical_or(obj_try > f_obj, vio_try > f_vio)
-        f_obj_new = jnp.where(keep, f_obj, jnp.inf)
-        f_vio_new = jnp.where(keep, f_vio, jnp.inf)
-        f_obj_new = f_obj_new.at[f_cnt].set(obj_try)
-        f_vio_new = f_vio_new.at[f_cnt].set(vio_try)
-        f_obj = jnp.where(accepted, f_obj_new, f_obj)
-        f_vio = jnp.where(accepted, f_vio_new, f_vio)
-        f_cnt = jnp.where(accepted, f_cnt + 1, f_cnt)
+            def eval_alpha(a):
+                obj_a, vio_a = eval_point(z + a * qp_data.denormalize_step(step, params))
+                return obj_a + mu * vio_a
+
+            phis = jax.vmap(eval_alpha)(alphas)
+            ok = phis <= phi0 + alphas * sqp.line_search_eta * dp_phi
+            first = jnp.argmax(ok)  # index of first True; 0 if none
+            # all-rejected falls through with one more tau decay, matching
+            # the reference loop's final `alpha *= tau`
+            alpha = jnp.where(jnp.any(ok), alphas[first],
+                              alphas[-1] * sqp.line_search_tau)
+        else:
+            # --- filter line search (single effective candidate; module doc)
+            z_try = z + qp_data.denormalize_step(step, params)
+            obj_try, vio_try = eval_point(z_try)
+            dominated = jnp.any(jnp.logical_and(obj_try >= f_obj, vio_try >= f_vio))
+            accepted = ~dominated
+            alpha = jnp.where(accepted, 1.0, alpha_fail).astype(dtype)
+
+            # filter update on acceptance: drop dominated entries, append
+            keep = jnp.logical_or(obj_try > f_obj, vio_try > f_vio)
+            f_obj_new = jnp.where(keep, f_obj, jnp.inf)
+            f_vio_new = jnp.where(keep, f_vio, jnp.inf)
+            f_obj_new = f_obj_new.at[f_cnt].set(obj_try)
+            f_vio_new = f_vio_new.at[f_cnt].set(vio_try)
+            f_obj = jnp.where(accepted, f_obj_new, f_obj)
+            f_vio = jnp.where(accepted, f_vio_new, f_vio)
+            f_cnt = jnp.where(accepted, f_cnt + 1, f_cnt)
 
         # --- take step
         z_new = z + alpha * qp_data.denormalize_step(step, params)

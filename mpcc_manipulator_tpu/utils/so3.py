@@ -57,13 +57,14 @@ def log_rot(r: jnp.ndarray) -> jnp.ndarray:
     a_abs = jnp.sqrt(jnp.clip((diag + 1.0) / 2.0, 0.0, None))
     # pick the largest component as the sign anchor
     k = jnp.argmax(a_abs)
+    one = jnp.ones((), dtype=r.dtype)
     signs = jnp.sign(jnp.where(
         jnp.arange(3) == k,
-        jnp.ones(3),
+        jnp.ones(3, dtype=r.dtype),
         (r[k] + r[:, k]) / 2.0,
     ))
     # sign() of 0 is 0; fall back to +1 there so axis stays unit-norm
-    signs = jnp.where(signs == 0, 1.0, signs)
+    signs = jnp.where(signs == 0, one, signs)
     axis = a_abs * signs
     axis = axis / jnp.maximum(jnp.linalg.norm(axis), _EPS)
     near_pi = hat(axis * th)
