@@ -31,13 +31,18 @@ def main():
     dtype = jnp.float32
     track, params, _, sel_nn, env_nn, carry, x0, u0, obs = _build_problem(
         dtype, small=False)
-    # production solver budgets: ADMM budget plays the role of OSQP's 2 ms
-    # time limit; the fused Pallas kernel is the TPU hot path (QP matrices
-    # pinned in VMEM across the whole iteration loop).
-    backend = os.environ.get("MPCC_QP_BACKEND",
-                             "xla")  # pallas kernel opt-in until burn-in done
-    cfg = SQPConfig(max_iter=20, qp_max_iter=200, qp_check_every=25,
-                    qp_backend=backend)
+    # Production solver configuration: structured Riccati/IPM QP backend
+    # (~12 Newton steps/QP) + exact AD manipulability gradient.  Override
+    # via env for ablations (MPCC_QP_SOLVER=admm, MPCC_QP_BACKEND=pallas,
+    # MPCC_MANI_GRAD=fd).
+    cfg = SQPConfig(
+        max_iter=20,
+        qp_solver=os.environ.get("MPCC_QP_SOLVER", "riccati"),
+        ipm_max_iter=25,
+        qp_max_iter=200, qp_check_every=25,
+        qp_backend=os.environ.get("MPCC_QP_BACKEND", "xla"),
+        mani_grad=os.environ.get("MPCC_MANI_GRAD", "ad"),
+    )
 
     from mpcc_manipulator_tpu.mpc import mpc_step
 

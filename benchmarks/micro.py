@@ -81,10 +81,31 @@ def main():
               f"({t / batch * 1e6:7.1f} us/scenario)  mean_iters="
               f"{float(jnp.mean(sol.iters)):.0f}")
 
+    # --- structured Riccati/IPM QP solve
+    from mpcc_manipulator_tpu.ocp import qp_stages
+    from mpcc_manipulator_tpu.solver import qp_ipm
+    rb_list = rd_fn(qs_b)
+    st_fn = jax.jit(jax.vmap(
+        lambda z, rbk: qp_stages.build_qp_stages(track, z, rbk, params, u0, 0.01)))
+    t = timeit(st_fn, z0_b, rb_b)
+    print(f"build_qp_stages:       {t * 1e3:8.2f} ms  ({t / batch * 1e6:7.1f} us/scenario)")
+    qp_st = st_fn(z0_b, rb_b)
+    ipm_fn = jax.jit(jax.vmap(partial(qp_ipm.solve_qp_ipm, max_iter=25)))
+    t = timeit(ipm_fn, qp_st)
+    sol = ipm_fn(qp_st)
+    import jax.numpy as jnp2
+    print(f"solve_qp[riccati]:     {t * 1e3:8.2f} ms  "
+          f"({t / batch * 1e6:7.1f} us/scenario)  mean_iters="
+          f"{float(jnp.mean(sol.iters)):.1f}")
+
     # --- full tick
     from mpcc_manipulator_tpu.parallel import sharding as shd
-    for be in (["xla", "pallas"] if jax.default_backend() == "tpu" else ["xla"]):
-        cfg = SQPConfig(max_iter=20, qp_max_iter=200, qp_backend=be)
+    solver_cfgs = [("admm/xla", SQPConfig(max_iter=20, qp_max_iter=200)),
+                   ("riccati", SQPConfig(max_iter=20, qp_solver="riccati"))]
+    if jax.default_backend() == "tpu":
+        solver_cfgs.append(("admm/pallas", SQPConfig(max_iter=20, qp_max_iter=200,
+                                                     qp_backend="pallas")))
+    for name, cfg in solver_cfgs:
         mesh = shd.make_mesh()
         step = shd.make_sharded_step(mesh, ts=0.01, cfg=cfg)
         carry_b = shd.batch_init_carry(batch, dtype)
@@ -95,7 +116,7 @@ def main():
                 shd.replicate(sel_nn, mesh), shd.replicate(env_nn, mesh),
                 *shd.shard_batch((carry_b, x0_b, u0_b, obs_b, rad_b), mesh))
         t = timeit(lambda *a: step(*a), *args, reps=3)
-        print(f"mpc_step[{be:>6}]:      {t * 1e3:8.2f} ms  "
+        print(f"mpc_step[{name:>11}]: {t * 1e3:8.2f} ms  "
               f"({t / batch * 1e6:7.1f} us/scenario -> "
               f"{batch / t:7.1f} solves/s)")
 

@@ -120,10 +120,30 @@ def ee_jacobian(q: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jv, jw], axis=0)
 
 
+def _det_psd6(a: jnp.ndarray) -> jnp.ndarray:
+    """Determinant of a 6x6 symmetric PSD matrix via an unrolled Cholesky.
+
+    ``jnp.linalg.det`` lowers to an LU custom call that is latency-bound on
+    TPU (and unsupported in f64 there); this unrolled LDL-style recursion is
+    ~30 fused elementwise ops and batches perfectly under vmap.  Returns 0
+    for singular input (clamped pivots).
+    """
+    det = jnp.ones((), dtype=a.dtype)
+    m = a
+    for i in range(6):
+        pivot = m[0, 0]
+        det = det * pivot
+        safe = jnp.where(pivot > 1e-30, pivot, 1.0)
+        if i < 5:
+            col = m[1:, 0]
+            m = m[1:, 1:] - jnp.outer(col, col) / safe
+    return jnp.clip(det, 0.0, None)
+
+
 def manipulability(q: jnp.ndarray) -> jnp.ndarray:
     """Yoshikawa manipulability ``sqrt(det(J J^T))`` of the 6x7 TCP Jacobian."""
     j = ee_jacobian(q)
-    return jnp.sqrt(jnp.clip(jnp.linalg.det(j @ j.T), 0.0, None))
+    return jnp.sqrt(_det_psd6(j @ j.T))
 
 
 def manipulability_gradient_fd(q: jnp.ndarray, delta: float = 1e-4) -> jnp.ndarray:

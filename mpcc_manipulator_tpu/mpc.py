@@ -133,7 +133,8 @@ def mpc_step(track: TrackSpline, params: MPCCParams, sel_nn: cnn.MLPParams,
 
     # --- 4. per-tick RobotData sweep (frozen linearization cache)
     xs0, _ = qp_data.split_z(z0)
-    rb = compute_robot_data(xs0[:, :PANDA_DOF], obs_pos, obs_radius, sel_nn, env_nn)
+    rb = compute_robot_data(xs0[:, :PANDA_DOF], obs_pos, obs_radius, sel_nn,
+                            env_nn, mani_grad=cfg.mani_grad)
 
     # --- 5. SQP (QP warm start carried across ticks; zeroed on cold start)
     qp_x0 = jnp.where(valid, carry.qp_x, 0.0)

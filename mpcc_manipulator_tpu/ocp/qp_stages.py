@@ -1,0 +1,214 @@
+"""Stage-wise (OCP-structured) QP assembly for the Riccati/IPM solver.
+
+The dense assembly (`qp_data.build_qp`) flattens the QP for the ADMM
+backend.  This module assembles the *same normalized QP* in stage-separable
+form for a block-structured solver, using the classic state augmentation
+
+    x~_k = [x^_k (NX);  u^_{k-1} (NU)]        (NXT = 17)
+
+which makes both the cross-knot smoothness cost  r_ddq ||u_k - u_{k-1}||^2
+and the joint-acceleration rate rows stage-local (the only couplings that
+break stage separability in the reference layout,
+`osqp_interface.cpp:166-217, 279-297`).  All quantities are in the
+normalized Delta coordinates of the dense QP, so steps from either backend
+are interchangeable.
+
+Stage layout (k = 0..N-1):  variables (x~_k, u_k);  stage N: x~_N only.
+x~_0 is fully pinned (x0 is data; u_{-1} is the measured current input).
+
+Inequality rows per stage (static masks; padded to NC_STAGE = 59):
+
+    [ 0..8 ]  state box upper      (x part)        k >= 1
+    [ 9..17]  state box lower                      k >= 1
+    [18..25]  input box upper      (u_k)           k <= N-1
+    [26..33]  input box lower                      k <= N-1
+    [34..40]  ddq rate upper       (u_k, u^_{k-1}) k <= N-1
+    [41..47]  ddq rate lower                       k <= N-1
+    [48..58]  polytopic upper (RBF rows)           k <= N-1
+
+(The reference's terminal polytopic rows and the dVs rate slots are
+structurally zero — dropped here statically.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import N, NPC, NU, NX, PANDA_DOF
+from ..params import MPCCParams
+from ..splines.arc_length import TrackSpline
+from .constraints import stage_constraints, state_bounds
+from .cost import stage_cost
+from .qp_data import _IS_TERMINAL, _discrete_ab, split_z, us_padded
+from .robot_data import RobotData, index_robot_data
+
+NXT = NX + NU       # augmented state dim (17)
+NZT = NXT + NU      # stage variable dim (25)
+NC_STAGE = 2 * NX + 2 * NU + 2 * PANDA_DOF + NPC   # 59
+
+
+@struct.dataclass
+class StageQP:
+    """All blocks of the stage-separable normalized QP (leading axis = stage)."""
+
+    # cost: stages 0..N-1 over (x~, u); terminal over x~ only
+    h: jnp.ndarray        # (N, NZT, NZT)
+    g: jnp.ndarray        # (N, NZT)
+    h_term: jnp.ndarray   # (NXT, NXT)
+    g_term: jnp.ndarray   # (NXT,)
+    # dynamics: Delta x~_{k+1} = at @ Delta x~_k + bt @ Delta u_k + e_k
+    at: jnp.ndarray       # (NXT, NXT)  constant across stages
+    bt: jnp.ndarray       # (NXT, NU)
+    e: jnp.ndarray        # (N, NXT)
+    # inequalities: rows @ (x~_k, u_k) <= d, with static activity mask
+    c_rows: jnp.ndarray   # (N+1, NC_STAGE, NZT)
+    d_vec: jnp.ndarray    # (N+1, NC_STAGE)
+    mask: jnp.ndarray     # (N+1, NC_STAGE) 1.0 active / 0.0 inactive
+
+
+def _row_masks(dtype):
+    m = np.zeros((N + 1, NC_STAGE))
+    m[1:, 0:2 * NX] = 1.0                        # state box k >= 1
+    m[:N, 2 * NX:2 * NX + 2 * NU] = 1.0          # input box k <= N-1
+    m[:N, 2 * NX + 2 * NU:2 * NX + 2 * NU + 2 * PANDA_DOF] = 1.0  # ddq
+    m[:N, 2 * NX + 2 * NU + 2 * PANDA_DOF:] = 1.0                 # polytopic
+    return jnp.asarray(m, dtype=dtype)
+
+
+def build_qp_stages(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
+                    params: MPCCParams, current_u: jnp.ndarray, ts,
+                    exact_heading_jac: bool = False) -> StageQP:
+    dtype = z.dtype
+    tx = params.normalization.t_x
+    tu = params.normalization.t_u
+    tx_inv = params.normalization.t_x_inv
+    tudq = tu[:PANDA_DOF]
+    xs, us = split_z(z)
+    up = us_padded(us)
+
+    # ---- normalized per-knot cost blocks (same math as build_qp)
+    obj_k, fx, fu, fxx, fuu, fxu = jax.vmap(
+        lambda x, u, k, t: stage_cost(track, x, u, index_robot_data(rb, k), t,
+                                      params, exact_heading_jac,
+                                      with_derivatives=True)
+    )(xs, up, jnp.arange(N + 1), _IS_TERMINAL)
+    g_x = fx * tx[None, :]
+    g_u = (fu * tu[None, :])[:N]
+    h_xx = tx[None, :, None] * fxx * tx[None, None, :]
+    h_uu = (tu[None, :, None] * fuu * tu[None, None, :])[:N]
+    h_xu = (tx[None, :, None] * fxu * tu[None, None, :])[:N]
+
+    # ---- stage Hessians/gradients in augmented coordinates
+    h = jnp.zeros((N, NZT, NZT), dtype=dtype)
+    g = jnp.zeros((N, NZT), dtype=dtype)
+    # x-part cost of knot k lives in stage k's x~ block (k = 0..N-1)
+    h = h.at[:, :NX, :NX].set(h_xx[:N])
+    h = h.at[:, :NX, NXT:].set(h_xu)
+    h = h.at[:, NXT:, :NX].set(jnp.swapaxes(h_xu, -1, -2))
+    h = h.at[:, NXT:, NXT:].set(h_uu)
+    g = g.at[:, :NX].set(g_x[:N])
+    g = g.at[:, NXT:].set(g_u)
+
+    # ddq smoothness: stage k covers the pair (u_k, u_{k-1}) for k = 1..N-1
+    r_ddq = params.cost.r_ddq
+    tu2 = tudq[:, None] * tudq[None, :] * jnp.eye(PANDA_DOF, dtype=dtype)
+    pair_mask = jnp.concatenate([jnp.zeros(1, dtype=dtype),
+                                 jnp.ones(N - 1, dtype=dtype)])
+    two_r = 2.0 * r_ddq * pair_mask  # (N,)
+    # blocks: +2r on u_k, +2r on u^_{k-1}, -2r cross
+    h = h.at[:, NXT:NXT + PANDA_DOF, NXT:NXT + PANDA_DOF].add(
+        two_r[:, None, None] * tu2)
+    h = h.at[:, NX:NX + PANDA_DOF, NX:NX + PANDA_DOF].add(
+        two_r[:, None, None] * tu2)
+    h = h.at[:, NX:NX + PANDA_DOF, NXT:NXT + PANDA_DOF].add(
+        -two_r[:, None, None] * tu2)
+    h = h.at[:, NXT:NXT + PANDA_DOF, NX:NX + PANDA_DOF].add(
+        -two_r[:, None, None] * tu2)
+    # gradient: +-2r T (dq_k - dq_{k-1})
+    dq_all = us[:, :PANDA_DOF]
+    dq_prev = jnp.concatenate([current_u[None, :PANDA_DOF], dq_all[:-1]], axis=0)
+    ddq_pair = dq_all - dq_prev     # (N, 7); stage k pair diff
+    g = g.at[:, NXT:NXT + PANDA_DOF].add(
+        two_r[:, None] * tudq[None, :] * ddq_pair)
+    g = g.at[:, NX:NX + PANDA_DOF].add(
+        -two_r[:, None] * tudq[None, :] * ddq_pair)
+
+    # terminal cost: knot N x-part only
+    h_term = jnp.zeros((NXT, NXT), dtype=dtype).at[:NX, :NX].set(h_xx[N])
+    g_term = jnp.zeros(NXT, dtype=dtype).at[:NX].set(g_x[N])
+
+    # ---- dynamics in augmented normalized coordinates
+    ad, bd = _discrete_ab(ts, dtype)
+    ad_n = tx_inv[:, None] * ad * tx[None, :]
+    bd_n = tx_inv[:, None] * bd * tu[None, :]
+    at = jnp.zeros((NXT, NXT), dtype=dtype).at[:NX, :NX].set(ad_n)
+    bt = jnp.zeros((NXT, NU), dtype=dtype).at[:NX, :].set(bd_n)
+    bt = bt.at[NX:, :].set(jnp.eye(NU, dtype=dtype))
+    # defect: e_k = -T_x_inv (x_{k+1} - (Ad x_k + Bd u_k)) on the x rows
+    pred = xs[:-1] @ ad.T + us @ bd.T
+    defect = (xs[1:] - pred) * tx_inv[None, :]
+    e = jnp.zeros((N, NXT), dtype=dtype).at[:, :NX].set(-defect)
+
+    # ---- inequality rows
+    c_rows = jnp.zeros((N + 1, NC_STAGE, NZT), dtype=dtype)
+    d_vec = jnp.zeros((N + 1, NC_STAGE), dtype=dtype)
+
+    # state box: T_x dx^ <= ux - x ; -T_x dx^ <= x - lx
+    bx_l, bx_u = jax.vmap(lambda x: state_bounds(x, params, track.length))(xs)
+    tx_diag = jnp.diag(tx)
+    c_rows = c_rows.at[:, 0:NX, :NX].set(jnp.tile(tx_diag[None], (N + 1, 1, 1)))
+    c_rows = c_rows.at[:, NX:2 * NX, :NX].set(
+        jnp.tile(-tx_diag[None], (N + 1, 1, 1)))
+    d_vec = d_vec.at[:, 0:NX].set(bx_u - xs)
+    d_vec = d_vec.at[:, NX:2 * NX].set(xs - bx_l)
+
+    # input box on u_k
+    b = params.bounds
+    tu_diag = jnp.diag(tu)
+    o = 2 * NX
+    c_rows = c_rows.at[:N, o:o + NU, NXT:].set(jnp.tile(tu_diag[None], (N, 1, 1)))
+    c_rows = c_rows.at[:N, o + NU:o + 2 * NU, NXT:].set(
+        jnp.tile(-tu_diag[None], (N, 1, 1)))
+    d_vec = d_vec.at[:N, o:o + NU].set(b.u_u[None, :] - us)
+    d_vec = d_vec.at[:N, o + NU:o + 2 * NU].set(us - b.u_l[None, :])
+
+    # ddq rate rows: (1/Ts) T_dq (du_k - du^_{k-1})
+    o = 2 * NX + 2 * NU
+    rate_blk = jnp.diag(tudq) / ts
+    c_rows = c_rows.at[:N, o:o + PANDA_DOF, NXT:NXT + PANDA_DOF].set(
+        jnp.tile(rate_blk[None], (N, 1, 1)))
+    c_rows = c_rows.at[:N, o:o + PANDA_DOF, NX:NX + PANDA_DOF].set(
+        jnp.tile(-rate_blk[None], (N, 1, 1)))
+    c_rows = c_rows.at[:N, o + PANDA_DOF:o + 2 * PANDA_DOF,
+                       NXT:NXT + PANDA_DOF].set(
+        jnp.tile(-rate_blk[None], (N, 1, 1)))
+    c_rows = c_rows.at[:N, o + PANDA_DOF:o + 2 * PANDA_DOF,
+                       NX:NX + PANDA_DOF].set(
+        jnp.tile(rate_blk[None], (N, 1, 1)))
+    rate_val = ddq_pair / ts   # (N, 7) current rate values
+    d_vec = d_vec.at[:N, o:o + PANDA_DOF].set(b.ddq_u[None, :] - rate_val)
+    d_vec = d_vec.at[:N, o + PANDA_DOF:o + 2 * PANDA_DOF].set(
+        rate_val - b.ddq_l[None, :])
+
+    # polytopic rows (upper-only): cx T_x dx^ + cu T_u du <= -c
+    cvals, _, _, cx, cu = jax.vmap(
+        lambda x, u, k, t: stage_constraints(x, u, index_robot_data(rb, k), t,
+                                             params, with_jacobian=True)
+    )(xs, up, jnp.arange(N + 1), _IS_TERMINAL)
+    o = 2 * NX + 2 * NU + 2 * PANDA_DOF
+    c_rows = c_rows.at[:, o:, :NX].set(cx * tx[None, None, :])
+    c_rows = c_rows.at[:N, o:, NXT:].set(cu[:N] * tu[None, None, :])
+    d_vec = d_vec.at[:, o:].set(-cvals)
+
+    return StageQP(h=h, g=g, h_term=h_term, g_term=g_term, at=at, bt=bt, e=e,
+                   c_rows=c_rows, d_vec=d_vec, mask=_row_masks(dtype))
+
+
+def stage_step_to_dense(dx_tilde: jnp.ndarray, du: jnp.ndarray) -> jnp.ndarray:
+    """(N+1, NXT) augmented-state deltas + (N, NU) input deltas -> the dense
+    decision-vector layout (normalized step, `qp_data.split_z` ordering)."""
+    dxs = dx_tilde[:, :NX]           # (N+1, NX)
+    return jnp.concatenate([dxs.reshape(-1), du.reshape(-1)])

@@ -44,12 +44,14 @@ class RobotData:
     obs_radius: jnp.ndarray   # scalar (broadcast)
 
 
-def _single_knot(q, obs_pos, sel_nn: cnn.MLPParams, env_nn: cnn.MLPParams):
+def _single_knot(q, obs_pos, sel_nn: cnn.MLPParams, env_nn: cnn.MLPParams,
+                 mani_grad: str = "fd"):
     p_ee, r_ee, origins, axes = kin.fk_chain(q)
     jv = jnp.cross(axes, p_ee[None, :] - origins).T
     jw = axes.T
     manipul = kin.manipulability(q)
-    d_manipul = kin.manipulability_gradient_fd(q)
+    d_manipul = (kin.manipulability_gradient_fd(q) if mani_grad == "fd"
+                 else kin.manipulability_gradient_ad(q))
     sel, d_sel = cnn.mlp_forward_jacobian(sel_nn, q)
     env_in = jnp.concatenate([q, obs_pos])
     env, d_env_full = cnn.mlp_forward_jacobian(env_nn, env_in)
@@ -59,14 +61,15 @@ def _single_knot(q, obs_pos, sel_nn: cnn.MLPParams, env_nn: cnn.MLPParams):
 
 
 def compute_robot_data(qs: jnp.ndarray, obs_pos: jnp.ndarray, obs_radius,
-                       sel_nn: cnn.MLPParams, env_nn: cnn.MLPParams) -> RobotData:
+                       sel_nn: cnn.MLPParams, env_nn: cnn.MLPParams,
+                       mani_grad: str = "fd") -> RobotData:
     """Evaluate the full cache for a batch of joint configurations.
 
     ``qs``: (K, 7) — typically K = N+1 horizon knots.  The obstacle is shared
     across knots (the reference passes one obstacle per tick,
     `osqp_interface.cpp:102-108`).
     """
-    f = jax.vmap(lambda q: _single_knot(q, obs_pos, sel_nn, env_nn))
+    f = jax.vmap(lambda q: _single_knot(q, obs_pos, sel_nn, env_nn, mani_grad))
     p_ee, r_ee, jv, jw, mani, d_mani, sel, d_sel, env, d_env = f(qs)
     return RobotData(
         q=qs, ee_pos=p_ee, ee_rot=r_ee, jv=jv, jw=jw,

@@ -241,6 +241,16 @@ class SQPConfig:
     # `osqp_interface.cpp:543`) or "merit" (the reference's unused l1-merit
     # Armijo variant, `osqp_interface.cpp:717-757`).
     line_search: str = "filter"
+    # QP solver: "admm" (dense OSQP-style splitting, reference-faithful) or
+    # "riccati" (structured primal-dual IPM with Riccati inner solves —
+    # ~12 Newton steps vs hundreds of ADMM iterations; requires the filter
+    # line search and no BFGS).
+    qp_solver: str = "admm"
+    ipm_max_iter: int = 25
+    # Manipulability gradient: "fd" (central difference, delta=1e-4 —
+    # reference-exact, 15 FK sweeps) or "ad" (exact autodiff, ~3x cheaper;
+    # differs from fd by O(delta^2) ~ 1e-8).
+    mani_grad: str = "fd"
 
 
 def load_sqp_params(file: str, overrides: Mapping[str, float] | None = None,

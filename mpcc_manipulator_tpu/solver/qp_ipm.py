@@ -1,0 +1,195 @@
+"""Structured QP solver: primal-dual interior point + Riccati recursion.
+
+This is the TPU-native structured alternative to the dense ADMM backend:
+instead of iterating hundreds of splitting steps on a 179x479 dense system,
+it exploits the OCP block-tridiagonal KKT structure the reference ignores
+(SURVEY.md section 7, "hard part #1"):
+
+  * primal-dual path-following IPM over the stage-separable inequalities
+    (slacks s > 0, duals lam > 0, complementarity driven to zero),
+  * each Newton step eliminates (s, lam) into the stage Hessians and solves
+    the equality-constrained LQR by a backward Riccati sweep + forward
+    rollout over the N = 10 stages (17-dim augmented state, 8 inputs),
+  * fixed iteration cap with convergence masking — fully jit/vmap-friendly;
+    typical convergence in 10-20 Newton steps vs hundreds of ADMM
+    iterations, and every step is small dense linear algebra that batches
+    perfectly over scenarios.
+
+Infeasible-start: initial slacks/duals are set to 1 (rows are normalized),
+so a warm-start guess violating bounds is handled through the residuals.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import N, NU
+from ..ocp.qp_stages import NC_STAGE, NXT, NZT, StageQP
+
+EPS_IPM = 1e-5       # complementarity target (OSQP-grade accuracy)
+SIGMA = 0.2          # centering parameter
+FRAC_TO_BOUNDARY = 0.995
+
+
+@struct.dataclass
+class IPMSolution:
+    dx_tilde: jnp.ndarray   # (N+1, NXT) augmented-state step
+    du: jnp.ndarray         # (N, NU) input step
+    lam: jnp.ndarray        # (N+1, NC_STAGE) inequality duals
+    iters: jnp.ndarray
+    solved: jnp.ndarray
+    mu: jnp.ndarray
+
+
+def _stage_split(h, g):
+    """(NZT,NZT)/(NZT,) stage blocks -> (Q, S, R, qx, ru) partitions."""
+    q = h[:NXT, :NXT]
+    s = h[NXT:, :NXT]
+    r = h[NXT:, NXT:]
+    return q, s, r, g[:NXT], g[NXT:]
+
+
+def _riccati_solve(qp: StageQP, hbar, gbar, hbar_term, gbar_term):
+    """Backward Riccati + forward rollout for the equality-constrained LQR
+
+        min sum_k 1/2 z_k' Hbar_k z_k + gbar_k' z_k  (+ terminal)
+        s.t. dx_{k+1} = At dx_k + Bt du_k + e_k,  dx_0 = 0.
+
+    Returns (dx (N+1, NXT), du (N, NU)).
+    """
+    at, bt = qp.at, qp.bt
+
+    def backward(carry, blocks):
+        p_mat, p_vec = carry
+        h_k, g_k, e_k = blocks
+        q, s, r, qx, ru = _stage_split(h_k, g_k)
+        pa = p_mat @ at
+        pb = p_mat @ bt
+        m_vec = p_vec + p_mat @ e_k
+        q_bar = q + at.T @ pa
+        s_bar = s + bt.T @ pa
+        r_bar = r + bt.T @ pb
+        qx_bar = qx + at.T @ m_vec
+        ru_bar = ru + bt.T @ m_vec
+        # solve via Cholesky of the (regularized) 8x8 input Hessian
+        chol = jnp.linalg.cholesky(
+            r_bar + 1e-9 * jnp.eye(NU, dtype=r_bar.dtype))
+        k_gain = -jax.scipy.linalg.cho_solve((chol, True), s_bar)
+        k_ff = -jax.scipy.linalg.cho_solve((chol, True), ru_bar)
+        p_new = q_bar + s_bar.T @ k_gain
+        p_vec_new = qx_bar + s_bar.T @ k_ff
+        # symmetrize for numerical hygiene
+        p_new = 0.5 * (p_new + p_new.T)
+        return (p_new, p_vec_new), (k_gain, k_ff)
+
+    (_, _), (k_gains, k_ffs) = jax.lax.scan(
+        backward, (hbar_term, gbar_term),
+        (hbar, gbar, qp.e), reverse=True, unroll=True)
+
+    def forward(dx, blocks):
+        k_gain, k_ff, e_k = blocks
+        du_k = k_gain @ dx + k_ff
+        dx_next = qp.at @ dx + qp.bt @ du_k + e_k
+        return dx_next, (dx, du_k)
+
+    dx0 = jnp.zeros(NXT, dtype=qp.e.dtype)
+    dx_last, (dxs, dus) = jax.lax.scan(forward, dx0, (k_gains, k_ffs, qp.e),
+                                       unroll=True)
+    dx_all = jnp.concatenate([dxs, dx_last[None]], axis=0)
+    return dx_all, dus
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def solve_qp_ipm(qp: StageQP, max_iter: int = 25) -> IPMSolution:
+    """Solve the stage-structured QP.  Returns steps in normalized units."""
+    dtype = qp.e.dtype
+    m_act = jnp.sum(qp.mask)
+
+    # masked row view: inactive rows become 0 . z <= 1
+    c_eff = qp.c_rows * qp.mask[..., None]
+    d_eff = qp.d_vec * qp.mask + (1.0 - qp.mask)
+
+    # stage variable packing helpers: z_k = (dx_k, du_k); z_N = (dx_N, 0)
+    def row_dot(dx_all, du_all):
+        """C z for every stage row -> (N+1, NC_STAGE)."""
+        du_pad = jnp.concatenate([du_all, jnp.zeros((1, NU), dtype=dtype)])
+        z_all = jnp.concatenate([dx_all, du_pad], axis=1)      # (N+1, NZT)
+        return jnp.einsum("krz,kz->kr", c_eff, z_all)
+
+    def state(dx, du, s, lam, mu):
+        return dx, du, s, lam, mu
+
+    dx0 = jnp.zeros((N + 1, NXT), dtype=dtype)
+    du0 = jnp.zeros((N, NU), dtype=dtype)
+    s0 = jnp.ones((N + 1, NC_STAGE), dtype=dtype)
+    lam0 = jnp.ones((N + 1, NC_STAGE), dtype=dtype)
+    mu0 = jnp.asarray(1.0, dtype=dtype)
+
+    def body(carry):
+        dx, du, s, lam, mu, it, done = carry
+
+        # Newton-step derivation (constraints linear, objective quadratic,
+        # only complementarity is nonlinear): eliminating (ds, dlam) from
+        #   H dz + C'dlam + E'dnu = -r_grad
+        #   C dz + ds = -(Cz + s - d)
+        #   Lam ds + S dlam = -(Lam s - mu e)
+        # and substituting z+ = z + dz yields an equality-constrained QP in
+        # the *target* iterate z+ directly:
+        #   min 1/2 z+' (H + C'WC) z+ + (g + C'(W(s - d) + mu/s))' z+
+        #   s.t. dynamics(z+) = e                       (W = lam/s)
+        # which the Riccati sweep solves in one shot.  Targets for the
+        # slacks/duals then follow in closed form:
+        #   s+   = d - C z+
+        #   lam+ = mu/s + W (C z+ + s - d)
+        w = lam / s
+        g_rows = w * (s - d_eff) + mu / s              # (N+1, NC)
+
+        cw = c_eff * w[..., None]
+        h_mod = jnp.einsum("krz,krv->kzv", cw, c_eff)  # (N+1, NZT, NZT)
+        g_mod = jnp.einsum("krz,kr->kz", c_eff, g_rows)
+
+        hbar = qp.h + h_mod[:N]
+        gbar = qp.g + g_mod[:N]
+        hbar_term = qp.h_term + h_mod[N, :NXT, :NXT]
+        gbar_term = qp.g_term + g_mod[N, :NXT]
+
+        dx_t, du_t = _riccati_solve(qp, hbar, gbar, hbar_term, gbar_term)
+        cz_t = row_dot(dx_t, du_t)
+        s_t = d_eff - cz_t
+        lam_t = mu / s + w * (cz_t + s - d_eff)
+
+        step_s = s_t - s
+        step_lam = lam_t - lam
+
+        # fraction-to-boundary step size (single alpha for primal+dual)
+        def max_alpha(v, dv):
+            ratio = jnp.where(dv < -1e-12, -v / jnp.where(dv < -1e-12, dv, -1.0),
+                              jnp.inf)
+            return jnp.minimum(1.0, FRAC_TO_BOUNDARY * jnp.min(ratio))
+
+        alpha = jnp.minimum(max_alpha(s, step_s), max_alpha(lam, step_lam))
+
+        dx = dx + alpha * (dx_t - dx)
+        du = du + alpha * (du_t - du)
+        s = s + alpha * step_s
+        lam = lam + alpha * step_lam
+
+        r_ineq = row_dot(dx, du) + s - d_eff
+        mu_meas = jnp.sum(s * lam * qp.mask) / jnp.maximum(m_act, 1.0)
+        mu_new = SIGMA * mu_meas
+        conv = jnp.logical_and(mu_meas < EPS_IPM,
+                               jnp.max(jnp.abs(r_ineq * qp.mask)) < 2e-4)
+        return dx, du, s, lam, mu_new, it + 1, jnp.logical_or(done, conv)
+
+    def cond(carry):
+        *_, it, done = carry
+        return jnp.logical_and(~done, it < max_iter)
+
+    dx, du, s, lam, mu, it, done = jax.lax.while_loop(
+        cond, body, (dx0, du0, s0, lam0, mu0, jnp.asarray(0), jnp.asarray(False)))
+
+    return IPMSolution(dx_tilde=dx, du=du, lam=lam, iters=it, solved=done, mu=mu)

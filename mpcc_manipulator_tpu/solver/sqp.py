@@ -101,6 +101,56 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         return qp_data.build_qp(track, z, rb, params, current_u, ts,
                                 exact_heading_jac)
 
+    def _riccati_body(z, lam, f_obj, f_vio, f_cnt, hess_carry, grad_l,
+                      step_prev, it, status, prim_norm, qp_it, done, qp_x, qp_y):
+        """SQP iteration with the structured Riccati/IPM backend.
+
+        Skips the dense assembly entirely; the per-stage R-bar Cholesky
+        inside the Riccati sweep plays the role of the positive-definiteness
+        guard (a non-PD stage Hessian produces NaN gains, caught below).
+        Inequality duals are not mapped back to the dense row layout (only
+        the BFGS path would consume them, which requires the ADMM backend).
+        """
+        from ..ocp import qp_stages as qps
+        from . import qp_ipm
+
+        qp_st = qps.build_qp_stages(track, z, rb, params, current_u, ts,
+                                    exact_heading_jac)
+        has_nan = jnp.any(jnp.isnan(qp_st.h)) | jnp.any(jnp.isnan(qp_st.g)) \
+            | jnp.any(jnp.isnan(qp_st.c_rows)) | jnp.any(jnp.isnan(qp_st.d_vec))
+
+        sol = qp_ipm.solve_qp_ipm(qp_st, max_iter=cfg.ipm_max_iter)
+        step = qps.stage_step_to_dense(sol.dx_tilde, sol.du)
+        step_nan = jnp.any(jnp.isnan(step))
+        guard_fail = jnp.logical_or(has_nan, step_nan)
+        step = jnp.where(guard_fail, 0.0, step)
+
+        # --- filter line search (same semantics as the dense path)
+        z_try = z + qp_data.denormalize_step(step, params)
+        obj_try, vio_try = eval_point(z_try)
+        dominated = jnp.any(jnp.logical_and(obj_try >= f_obj, vio_try >= f_vio))
+        accepted = ~dominated
+        alpha = jnp.where(accepted, 1.0, alpha_fail).astype(z.dtype)
+        keep = jnp.logical_or(obj_try > f_obj, vio_try > f_vio)
+        f_obj_new = jnp.where(keep, f_obj, jnp.inf).at[f_cnt].set(obj_try)
+        f_vio_new = jnp.where(keep, f_vio, jnp.inf).at[f_cnt].set(vio_try)
+        f_obj = jnp.where(accepted, f_obj_new, f_obj)
+        f_vio = jnp.where(accepted, f_vio_new, f_vio)
+        f_cnt = jnp.where(accepted, f_cnt + 1, f_cnt)
+
+        z_new = z + alpha * qp_data.denormalize_step(step, params)
+        prim_norm_new = alpha * jnp.max(jnp.abs(step))
+        converged = prim_norm_new < sqp.eps_prim
+
+        z_out = jnp.where(guard_fail, z, z_new)
+        status_new = jnp.where(guard_fail, Status.NAN_HESSIAN,
+                               jnp.where(converged, Status.SOLVED,
+                                         Status.MAX_ITER_EXCEEDED))
+        done_new = jnp.logical_or(guard_fail, converged)
+        return (z_out, lam, f_obj, f_vio, f_cnt, hess_carry, grad_l,
+                alpha * step, it + 1, status_new, prim_norm_new,
+                qp_it + sol.iters, done_new, qp_x, qp_y)
+
     def eval_point(z):
         obj = qp_data.total_objective(track, z, rb, params, exact_heading_jac)
         constr, l, u = qp_data.constraint_values(track, z, rb, params, current_u, ts)
@@ -114,6 +164,11 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
     def body(carry):
         (z, lam, f_obj, f_vio, f_cnt, hess_carry, grad_l, step_prev, it, status,
          prim_norm, qp_it, done, qp_x, qp_y) = carry
+
+        if cfg.qp_solver == "riccati":
+            return _riccati_body(z, lam, f_obj, f_vio, f_cnt, hess_carry,
+                                 grad_l, step_prev, it, status, prim_norm,
+                                 qp_it, done, qp_x, qp_y)
 
         p_mat, qvec, a_mat, lvec, uvec, obj, constr = qp_at(z)
 
