@@ -37,7 +37,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..config import N, NPC, NU, NX, PANDA_DOF
+from ..config import N, NPC, NU, NX, PANDA_DOF, StateIndex
+
+StateIndexS = StateIndex.s
 from ..params import MPCCParams
 from ..splines.arc_length import TrackSpline
 from .constraints import stage_constraints, state_bounds
@@ -164,6 +166,14 @@ def build_qp_stages(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
         jnp.tile(-tx_diag[None], (N + 1, 1, 1)))
     d_vec = d_vec.at[:, 0:NX].set(bx_u - xs)
     d_vec = d_vec.at[:, NX:2 * NX].set(xs - bx_l)
+    # The path-parameter rows are only weakly controllable over the first
+    # stages (s_1 is fully determined by the pinned x~_0; s_k moves at most
+    # O(Ts^2 k^2 dVs)), so a guess with s marginally outside its box makes
+    # those rows structurally infeasible and blows up the IPM duals.  Clamp
+    # their offsets to a tiny feasible margin — the dense OSQP-style path
+    # converges to the same "stay at the violation" compromise numerically.
+    s_rows = jnp.array([StateIndexS, NX + StateIndexS])
+    d_vec = d_vec.at[:, s_rows].set(jnp.maximum(d_vec[:, s_rows], 1e-6))
 
     # input box on u_k
     b = params.bounds

@@ -145,8 +145,9 @@ def solve_qp_ipm(qp: StageQP, max_iter: int = 25) -> IPMSolution:
         # slacks/duals then follow in closed form:
         #   s+   = d - C z+
         #   lam+ = mu/s + W (C z+ + s - d)
-        w = lam / s
-        g_rows = w * (s - d_eff) + mu / s              # (N+1, NC)
+        s_safe = jnp.maximum(s, 1e-10)
+        w = lam / s_safe
+        g_rows = w * (s - d_eff) + mu / s_safe         # (N+1, NC)
 
         cw = c_eff * w[..., None]
         h_mod = jnp.einsum("krz,krv->kzv", cw, c_eff)  # (N+1, NZT, NZT)
@@ -160,30 +161,48 @@ def solve_qp_ipm(qp: StageQP, max_iter: int = 25) -> IPMSolution:
         dx_t, du_t = _riccati_solve(qp, hbar, gbar, hbar_term, gbar_term)
         cz_t = row_dot(dx_t, du_t)
         s_t = d_eff - cz_t
-        lam_t = mu / s + w * (cz_t + s - d_eff)
+        lam_t = mu / s_safe + w * (cz_t + s - d_eff)
 
         step_s = s_t - s
         step_lam = lam_t - lam
 
-        # fraction-to-boundary step size (single alpha for primal+dual)
+        # fraction-to-boundary, separate primal/dual step lengths
         def max_alpha(v, dv):
             ratio = jnp.where(dv < -1e-12, -v / jnp.where(dv < -1e-12, dv, -1.0),
                               jnp.inf)
             return jnp.minimum(1.0, FRAC_TO_BOUNDARY * jnp.min(ratio))
 
-        alpha = jnp.minimum(max_alpha(s, step_s), max_alpha(lam, step_lam))
+        alpha_p = max_alpha(s, step_s)
+        alpha_d = max_alpha(lam, step_lam)
 
-        dx = dx + alpha * (dx_t - dx)
-        du = du + alpha * (du_t - du)
-        s = s + alpha * step_s
-        lam = lam + alpha * step_lam
+        dx_n = dx + alpha_p * (dx_t - dx)
+        du_n = du + alpha_p * (du_t - du)
+        s_n = s + alpha_p * step_s
+        lam_n = lam + alpha_d * step_lam
+
+        # freeze on any non-finite update (keeps the last good iterate)
+        finite = (jnp.all(jnp.isfinite(dx_n)) & jnp.all(jnp.isfinite(du_n))
+                  & jnp.all(jnp.isfinite(s_n)) & jnp.all(jnp.isfinite(lam_n)))
+        dx = jnp.where(finite, dx_n, dx)
+        du = jnp.where(finite, du_n, du)
+        s = jnp.where(finite, s_n, s)
+        lam = jnp.where(finite, lam_n, lam)
 
         r_ineq = row_dot(dx, du) + s - d_eff
         mu_meas = jnp.sum(s * lam * qp.mask) / jnp.maximum(m_act, 1.0)
-        mu_new = SIGMA * mu_meas
+        # adaptive centering: aggressive when steps are long, conservative
+        # when fraction-to-boundary is clipping hard
+        alpha_min = jnp.minimum(alpha_p, alpha_d)
+        sigma = jnp.clip((1.0 - alpha_min) ** 2, 0.1, 0.8)
+        mu_new = jnp.maximum(sigma * mu_meas, 0.01 * EPS_IPM)
         conv = jnp.logical_and(mu_meas < EPS_IPM,
                                jnp.max(jnp.abs(r_ineq * qp.mask)) < 2e-4)
-        return dx, du, s, lam, mu_new, it + 1, jnp.logical_or(done, conv)
+        # dual divergence (degenerate active sets): stop iterating; the
+        # returned iterate is the last finite one and the SQP filter line
+        # search is the outer safety net for such steps
+        diverged = jnp.logical_or(~finite, mu_meas > 1e6)
+        stop = jnp.logical_or(conv, diverged)
+        return dx, du, s, lam, mu_new, it + 1, jnp.logical_or(done, stop)
 
     def cond(carry):
         *_, it, done = carry
@@ -192,4 +211,10 @@ def solve_qp_ipm(qp: StageQP, max_iter: int = 25) -> IPMSolution:
     dx, du, s, lam, mu, it, done = jax.lax.while_loop(
         cond, body, (dx0, du0, s0, lam0, mu0, jnp.asarray(0), jnp.asarray(False)))
 
-    return IPMSolution(dx_tilde=dx, du=du, lam=lam, iters=it, solved=done, mu=mu)
+    # final convergence verdict (excludes lanes stopped by divergence)
+    r_fin = row_dot(dx, du) + s - d_eff
+    mu_fin = jnp.sum(s * lam * qp.mask) / jnp.maximum(m_act, 1.0)
+    solved = jnp.logical_and(mu_fin < 10 * EPS_IPM,
+                             jnp.max(jnp.abs(r_fin * qp.mask)) < 1e-3)
+    return IPMSolution(dx_tilde=dx, du=du, lam=lam, iters=it, solved=solved,
+                       mu=mu_fin)
