@@ -87,13 +87,19 @@ def main():
     sn_r = shd.replicate(sel_nn, mesh)
     en_r = shd.replicate(env_nn, mesh)
 
-    cb, ob = step(tr_r, pr_r, sn_r, en_r, *scen)   # compile
+    carry_s, x0_s, u0_s, obs_s, rad_s = scen
+    cb, ob = step(tr_r, pr_r, sn_r, en_r, *scen)   # compile (fresh inputs)
+    ob.u0.block_until_ready()
+    # warm up the feedback pattern too (outputs carry mesh shardings; a
+    # mismatched obs/rad sharding here would recompile inside the timed loop)
+    cb, ob = step(tr_r, pr_r, sn_r, en_r, cb, ob.x0_updated, ob.u0,
+                  obs_s, rad_s)
     ob.u0.block_until_ready()
     n_rep = 10
     t0 = time.perf_counter()
     for _ in range(n_rep):
         cb, ob = step(tr_r, pr_r, sn_r, en_r, cb, ob.x0_updated, ob.u0,
-                      obs_b, rad_b)
+                      obs_s, rad_s)
     ob.u0.block_until_ready()
     dt = (time.perf_counter() - t0) / n_rep
     n_chips = len(mesh.devices.flatten())
