@@ -95,8 +95,9 @@ class MPCC:
         6-D arc-length spline (`MPCC.py:57-73`)."""
         state = np.asarray(state)
         assert state.size == C.NX, f"State size {state.size} != {C.NX}"
-        q = jnp.asarray(state[:C.PANDA_DOF], dtype=self._dtype)
-        ee_pos = np.asarray(kin.ee_position(q))
+        # CPU-backend FK: avoids a TPU device->host readback in the setup
+        # path (slow-dispatch-mode gotcha, docs/ARCHITECTURE.md)
+        ee_pos = kin.ee_position_host(state[:C.PANDA_DOF])
         x, y, z, rots = als.load_track_waypoints(self.track_path)
         x, y, z = als.shift_track_to(x, y, z, ee_pos)
         self.track = als.gen_6d_spline(x, y, z, rots, dtype=self._dtype)

@@ -106,6 +106,21 @@ def ee_position(q: jnp.ndarray) -> jnp.ndarray:
     return fk_chain(q)[0]
 
 
+def ee_position_host(q) -> np.ndarray:
+    """FK evaluated on the host CPU backend, returning numpy.
+
+    Setup paths (track shifting, API entry) need the EE position as host
+    data.  On remote-tunneled TPU platforms a device->host readback
+    permanently switches the process into a slow synchronous dispatch mode
+    (~25-35 ms per blocked launch; see docs/ARCHITECTURE.md "remote-TPU
+    dispatch gotcha"), so setup-time FK runs on the CPU backend instead.
+    ``q`` must be host data (numpy / list), never a TPU-resident array.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return np.asarray(ee_position(jnp.asarray(np.asarray(q))))
+
+
 def ee_orientation(q: jnp.ndarray) -> jnp.ndarray:
     """End-effector rotation matrix, world frame."""
     return fk_chain(q)[1]

@@ -98,7 +98,11 @@ def us_padded(us: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([us, jnp.zeros((1, NU), dtype=us.dtype)], axis=0)
 
 
-_IS_TERMINAL = jnp.arange(N + 1) == N
+# Host-side (numpy) constant, deliberately NOT jnp: a module-level device
+# array would be captured by every trace as a committed device buffer, which
+# on the tunneled-TPU backend permanently flips the process into slow
+# synchronous dispatch (docs/ARCHITECTURE.md "remote-TPU dispatch gotcha").
+_IS_TERMINAL = np.arange(N + 1) == N
 
 
 # ------------------------------------------------------------------

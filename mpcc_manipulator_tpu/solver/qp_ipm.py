@@ -29,6 +29,7 @@ from flax import struct
 
 from ..config import N, NU
 from ..ocp.qp_stages import NC_STAGE, NXT, NZT, StageQP
+from ..utils.linalg_small import cho_solve_small, cholesky_small
 
 EPS_IPM = 1e-5       # complementarity target (OSQP-grade accuracy)
 SIGMA = 0.2          # centering parameter
@@ -75,11 +76,15 @@ def _riccati_solve(qp: StageQP, hbar, gbar, hbar_term, gbar_term):
         r_bar = r + bt.T @ pb
         qx_bar = qx + at.T @ m_vec
         ru_bar = ru + bt.T @ m_vec
-        # solve via Cholesky of the (regularized) 8x8 input Hessian
-        chol = jnp.linalg.cholesky(
-            r_bar + 1e-9 * jnp.eye(NU, dtype=r_bar.dtype))
-        k_gain = -jax.scipy.linalg.cho_solve((chol, True), s_bar)
-        k_ff = -jax.scipy.linalg.cho_solve((chol, True), ru_bar)
+        # solve via Cholesky of the (regularized) 8x8 input Hessian —
+        # unrolled small-matrix factor+solve (fusable elementwise ops; the
+        # LAPACK-style custom calls are latency-bound at this size and
+        # dominate the whole batched solve).  NaN-on-non-PD is preserved.
+        chol = cholesky_small(
+            r_bar + 1e-9 * jnp.eye(NU, dtype=r_bar.dtype), NU)
+        sol_kk = -cho_solve_small(
+            chol, jnp.concatenate([s_bar, ru_bar[:, None]], axis=-1), NU)
+        k_gain, k_ff = sol_kk[:, :NXT], sol_kk[:, NXT]
         p_new = q_bar + s_bar.T @ k_gain
         p_vec_new = qx_bar + s_bar.T @ k_ff
         # symmetrize for numerical hygiene
