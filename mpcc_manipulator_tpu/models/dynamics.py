@@ -21,36 +21,44 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import NU, NX, PANDA_DOF, InputIndex, StateIndex
+from ..system import PANDA, System
 
 FINE_TIME_STEP = 1e-3   # plant substep (`integrator.h:53`)
 
 
-def continuous_ab() -> tuple[np.ndarray, np.ndarray]:
+def continuous_ab(system: System = PANDA) -> tuple[np.ndarray, np.ndarray]:
     """Continuous-time (A, B) as numpy constants."""
-    a = np.zeros((NX, NX))
-    a[StateIndex.s, StateIndex.vs] = 1.0
-    b = np.zeros((NX, NU))
-    b[:PANDA_DOF, :PANDA_DOF] = np.eye(PANDA_DOF)
-    b[StateIndex.vs, InputIndex.dVs] = 1.0
+    dof, nx, nu = system.dof, system.nx, system.nu
+    a = np.zeros((nx, nx))
+    a[system.s_idx, system.vs_idx] = 1.0
+    b = np.zeros((nx, nu))
+    b[:dof, :dof] = np.eye(dof)
+    b[system.vs_idx, system.dvs_idx] = 1.0
     return a, b
 
 
-def discrete_ab(ts: float) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def discrete_ab(ts: float, system: System = PANDA
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Exact ZOH (Ad, Bd, gd) via the closed form (A is nilpotent)."""
-    a, b = continuous_ab()
-    ad = np.eye(NX) + a * ts
+    a, b = continuous_ab(system)
+    ad = np.eye(system.nx) + a * ts
     bd = b * ts + a @ b * (ts * ts / 2.0)
-    gd = np.zeros(NX)
+    gd = np.zeros(system.nx)
     return ad, bd, gd
 
 
 def dynamics_f(x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    """Continuous dynamics ``f(x, u)`` (`Model::getF`)."""
+    """Continuous dynamics ``f(x, u)`` (`Model::getF`).
+
+    Shape-generic: the velocity-controlled dof count is derived from the
+    input size (``x = [q(dof), s, vs]``, ``u = [dq(dof), dVs]``), so the same
+    function serves the fixed-base and mobile systems.
+    """
+    dof = u.shape[-1] - 1
     return jnp.concatenate([
-        u[:PANDA_DOF],
-        x[StateIndex.vs][None],
-        u[InputIndex.dVs][None],
+        u[:dof],
+        x[dof + 1][None],   # sdot = vs
+        u[dof][None],       # vsdot = dVs
     ])
 
 

@@ -27,16 +27,18 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .config import N, N_CONSTR, N_VAR, NU, NX, PANDA_DOF, StateIndex
+from .config import N
 from .models import collision_nn as cnn
 from .models import dynamics as dyn
 from .models import kinematics as kin
+from .models import kinematics_mobile as kinm
 from .ocp import qp_data
 from .ocp.robot_data import compute_robot_data
 from .params import MPCCParams, SQPConfig
 from .solver import sqp as sqp_mod
 from .splines import arc_length as als
 from .splines.arc_length import TrackSpline
+from .system import PANDA, System
 
 
 @struct.dataclass
@@ -44,11 +46,11 @@ class MPCCarry:
     """Tick-to-tick solver state (reference `mpc.h:118-126`), plus the last
     QP primal/dual for cross-tick ADMM warm starts (speed-only extension)."""
 
-    z_guess: jnp.ndarray           # (N_VAR,) last horizon (raw units)
+    z_guess: jnp.ndarray           # (n_var,) last horizon (raw units)
     valid_guess: jnp.ndarray       # bool
     num_guess_failed: jnp.ndarray  # int32 consecutive-failure counter
-    qp_x: jnp.ndarray              # (N_VAR,) last QP primal step
-    qp_y: jnp.ndarray              # (N_CONSTR,) last QP dual
+    qp_x: jnp.ndarray              # (n_var,) last QP primal step
+    qp_y: jnp.ndarray              # (n_constr,) last QP dual
 
 
 @struct.dataclass
@@ -63,20 +65,21 @@ class MPCOutput:
     qp_iters: jnp.ndarray
 
 
-def init_carry(dtype=jnp.float32) -> MPCCarry:
+def init_carry(dtype=jnp.float32, system: System = PANDA) -> MPCCarry:
     return MPCCarry(
-        z_guess=jnp.zeros(N_VAR, dtype=dtype),
+        z_guess=jnp.zeros(system.n_var, dtype=dtype),
         valid_guess=jnp.asarray(False),
         num_guess_failed=jnp.asarray(0, dtype=jnp.int32),
-        qp_x=jnp.zeros(N_VAR, dtype=dtype),
-        qp_y=jnp.zeros(N_CONSTR, dtype=dtype),
+        qp_x=jnp.zeros(system.n_var, dtype=dtype),
+        qp_y=jnp.zeros(system.n_constr, dtype=dtype),
     )
 
 
-def _shift_warm_start(z: jnp.ndarray, x0: jnp.ndarray, ts) -> jnp.ndarray:
+def _shift_warm_start(z: jnp.ndarray, x0: jnp.ndarray, ts,
+                      system: System = PANDA) -> jnp.ndarray:
     """`updateInitialGuess` (`mpc.cpp:54-68`): shift knots down by one,
     pin knot 0 at x0, duplicate knot N-1, RK4-roll the new terminal knot."""
-    xs, us = qp_data.split_z(z)
+    xs, us = qp_data.split_z(z, system)
     xs_s = jnp.concatenate([x0[None, :], xs[2:], xs[-1:]], axis=0)  # knots 0..N-1
     us_s = jnp.concatenate([us[1:], us[-1:]], axis=0)
     # replicate reference ordering: x[N-1] copies x[N-2] *after* the shift
@@ -87,39 +90,42 @@ def _shift_warm_start(z: jnp.ndarray, x0: jnp.ndarray, ts) -> jnp.ndarray:
     return qp_data.join_z(xs_new, us_s)
 
 
-def _cold_start(x0: jnp.ndarray, dtype) -> jnp.ndarray:
+def _cold_start(x0: jnp.ndarray, dtype, system: System = PANDA) -> jnp.ndarray:
     """`generateNewInitialGuess` (`mpc.cpp:79-89`)."""
-    return jnp.concatenate([jnp.tile(x0, N + 1), jnp.zeros(N * NU, dtype=dtype)])
+    return jnp.concatenate([jnp.tile(x0, N + 1),
+                            jnp.zeros(N * system.nu, dtype=dtype)])
 
 
-def _unwrap_s(z: jnp.ndarray, length) -> jnp.ndarray:
+def _unwrap_s(z: jnp.ndarray, length, system: System = PANDA) -> jnp.ndarray:
     """`unwrapInitialGuess`: clamp s of knots 1..N to [-inf, L] (the reference
     only applies the min against track length)."""
-    xs, us = qp_data.split_z(z)
-    s = xs[:, StateIndex.s]
+    xs, us = qp_data.split_z(z, system)
+    s = xs[:, system.s_idx]
     s_new = jnp.concatenate([s[:1], jnp.minimum(s[1:], length)])
-    xs = xs.at[:, StateIndex.s].set(s_new)
+    xs = xs.at[:, system.s_idx].set(s_new)
     return qp_data.join_z(xs, us)
 
 
-@partial(jax.jit, static_argnames=("cfg", "exact_heading_jac", "ts"))
+@partial(jax.jit, static_argnames=("cfg", "exact_heading_jac", "ts", "system"))
 def mpc_step(track: TrackSpline, params: MPCCParams, sel_nn: cnn.MLPParams,
              env_nn: cnn.MLPParams, carry: MPCCarry, x0: jnp.ndarray,
              u0: jnp.ndarray, obs_pos: jnp.ndarray, obs_radius,
              ts: float = 0.01, cfg: SQPConfig = SQPConfig(),
-             exact_heading_jac: bool = False) -> tuple[MPCCarry, MPCOutput]:
+             exact_heading_jac: bool = False,
+             system: System = PANDA) -> tuple[MPCCarry, MPCOutput]:
     """One full MPC tick.  Pure; returns the new carry and the solution."""
     dtype = x0.dtype
-    q = x0[:PANDA_DOF]
-    dq = u0[:PANDA_DOF]
+    q = x0[:system.dof]
+    dq = u0[:system.dof]
+    _kin = kin if system.base_dof == 0 else kinm
 
     # --- 1. projection + vs re-derivation (`mpc.cpp:107-115`)
-    last_s = x0[StateIndex.s]
-    ee_pos = kin.ee_position(q)
+    last_s = x0[system.s_idx]
+    ee_pos = _kin.ee_position(q)
     s_proj = als.project_on_spline(track, last_s, ee_pos, params.model.max_dist_proj)
-    jv = kin.ee_jacobian(q)[:3]
+    jv = _kin.ee_jacobian(q)[:3]
     vs = jnp.dot(jv @ dq, als.track_derivative(track, s_proj))
-    x0_new = x0.at[StateIndex.s].set(s_proj).at[StateIndex.vs].set(vs)
+    x0_new = x0.at[system.s_idx].set(s_proj).at[system.vs_idx].set(vs)
 
     # --- 2. warm-start invalidation on projection jump (`mpc.cpp:117-121`)
     jumped = jnp.abs(last_s - s_proj) > params.model.max_dist_proj
@@ -127,21 +133,22 @@ def mpc_step(track: TrackSpline, params: MPCCParams, sel_nn: cnn.MLPParams,
     n_failed = carry.num_guess_failed + jnp.where(jumped, 1, 0).astype(jnp.int32)
 
     # --- 3. warm start selection (both branches are cheap; select)
-    z_warm = _unwrap_s(_shift_warm_start(carry.z_guess, x0_new, ts), track.length)
-    z_cold = _unwrap_s(_cold_start(x0_new, dtype), track.length)
+    z_warm = _unwrap_s(_shift_warm_start(carry.z_guess, x0_new, ts, system),
+                       track.length, system)
+    z_cold = _unwrap_s(_cold_start(x0_new, dtype, system), track.length, system)
     z0 = jnp.where(valid, z_warm, z_cold)
 
     # --- 4. per-tick RobotData sweep (frozen linearization cache)
-    xs0, _ = qp_data.split_z(z0)
-    rb = compute_robot_data(xs0[:, :PANDA_DOF], obs_pos, obs_radius, sel_nn,
-                            env_nn, mani_grad=cfg.mani_grad)
+    xs0, _ = qp_data.split_z(z0, system)
+    rb = compute_robot_data(xs0[:, :system.dof], obs_pos, obs_radius, sel_nn,
+                            env_nn, mani_grad=cfg.mani_grad, system=system)
 
     # --- 5. SQP (QP warm start carried across ticks; zeroed on cold start)
     qp_x0 = jnp.where(valid, carry.qp_x, 0.0)
     qp_y0 = jnp.where(valid, carry.qp_y, 0.0)
     res = sqp_mod.solve_ocp(track, rb, params, cfg, z0, u0, ts,
                             exact_heading_jac=exact_heading_jac,
-                            qp_x0=qp_x0, qp_y0=qp_y0)
+                            qp_x0=qp_x0, qp_y0=qp_y0, system=system)
 
     # --- 6. status machine (`mpc.cpp:138-188`)
     solved = res.success
@@ -152,7 +159,7 @@ def mpc_step(track: TrackSpline, params: MPCCParams, sel_nn: cnn.MLPParams,
         jnp.logical_and(res.status == sqp_mod.Status.MAX_ITER_EXCEEDED,
                         n_failed_next < 5))
 
-    xs, us = qp_data.split_z(res.z)
+    xs, us = qp_data.split_z(res.z, system)
     # strong-type the carry leaves: a weak-typed bool here changes the jit
     # cache key on the next tick and silently recompiles the whole step
     new_carry = MPCCarry(z_guess=res.z,

@@ -17,8 +17,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..config import INF, NPC, NU, NX, PANDA_DOF, PANDA_NUM_LINKS, ConstraintIndex
+from ..config import INF, ConstraintIndex
 from ..params import MPCCParams
+from ..system import PANDA, System
 from .robot_data import RobotData
 
 RBF_DELTA = -0.5  # switching point (`constraints.cpp:87` et al.)
@@ -41,13 +42,14 @@ def drbf(h, delta=RBF_DELTA):
 
 
 def stage_constraints(x: jnp.ndarray, u: jnp.ndarray, rb: RobotData,
-                      is_terminal, params: MPCCParams, with_jacobian: bool = True):
+                      is_terminal, params: MPCCParams, with_jacobian: bool = True,
+                      system: System = PANDA):
     """All NPC rows at one knot.
 
     Returns ``(c, c_l, c_u)`` or ``(c, c_l, c_u, c_x (NPC,NX), c_u_jac (NPC,NU))``.
     """
     dtype = x.dtype
-    dq = u[:PANDA_DOF]
+    dq = u[:system.dof]
     m = params.model
     not_term = jnp.where(is_terminal, 0.0, 1.0)
 
@@ -67,36 +69,37 @@ def stage_constraints(x: jnp.ndarray, u: jnp.ndarray, rb: RobotData,
     c_env = not_term * (-(d_env @ dq) + rbf(env_h))
 
     c = jnp.concatenate([c_sel[None], c_sing[None], c_env])
-    c_l = jnp.where(is_terminal, 0.0, -INF) * jnp.ones(NPC, dtype=dtype)
-    c_u = jnp.zeros(NPC, dtype=dtype)
+    c_l = jnp.where(is_terminal, 0.0, -INF) * jnp.ones(system.npc, dtype=dtype)
+    c_u = jnp.zeros(system.npc, dtype=dtype)
 
     if not with_jacobian:
         return c, c_l, c_u
 
-    c_x = jnp.zeros((NPC, NX), dtype=dtype)
-    c_x = c_x.at[ConstraintIndex.con_selcol, :PANDA_DOF].set(
+    dof = system.dof
+    c_x = jnp.zeros((system.npc, system.nx), dtype=dtype)
+    c_x = c_x.at[ConstraintIndex.con_selcol, :dof].set(
         not_term * drbf(sel_h) * d_sel)
-    c_x = c_x.at[ConstraintIndex.con_sing, :PANDA_DOF].set(
+    c_x = c_x.at[ConstraintIndex.con_sing, :dof].set(
         not_term * drbf(sing_h) * d_sing)
-    c_x = c_x.at[ConstraintIndex.con_envcol1:, :PANDA_DOF].set(
+    c_x = c_x.at[ConstraintIndex.con_envcol1:, :dof].set(
         not_term * drbf(env_h)[:, None] * d_env)
 
-    c_u_jac = jnp.zeros((NPC, NU), dtype=dtype)
-    c_u_jac = c_u_jac.at[ConstraintIndex.con_selcol, :PANDA_DOF].set(not_term * -d_sel)
-    c_u_jac = c_u_jac.at[ConstraintIndex.con_sing, :PANDA_DOF].set(not_term * -d_sing)
-    c_u_jac = c_u_jac.at[ConstraintIndex.con_envcol1:, :PANDA_DOF].set(not_term * -d_env)
+    c_u_jac = jnp.zeros((system.npc, system.nu), dtype=dtype)
+    c_u_jac = c_u_jac.at[ConstraintIndex.con_selcol, :dof].set(not_term * -d_sel)
+    c_u_jac = c_u_jac.at[ConstraintIndex.con_sing, :dof].set(not_term * -d_sing)
+    c_u_jac = c_u_jac.at[ConstraintIndex.con_envcol1:, :dof].set(not_term * -d_env)
 
     return c, c_l, c_u, c_x, c_u_jac
 
 
-def state_bounds(x: jnp.ndarray, params: MPCCParams, track_length):
+def state_bounds(x: jnp.ndarray, params: MPCCParams, track_length,
+                 system: System = PANDA):
     """Per-knot state box with the s trust region
     (`bounds.cpp:85-108`): s in [max(s_k - tr, 0), min(s_k + tr, L)]."""
-    from ..config import StateIndex
     b = params.bounds
-    s = x[StateIndex.s]
-    l = b.x_l.at[StateIndex.s].set(
+    s = x[system.s_idx]
+    l = b.x_l.at[system.s_idx].set(
         jnp.maximum(s - params.model.s_trust_region, 0.0))
-    u = b.x_u.at[StateIndex.s].set(
+    u = b.x_u.at[system.s_idx].set(
         jnp.minimum(s + params.model.s_trust_region, track_length))
     return l, u

@@ -28,8 +28,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..config import NU, NX, PANDA_DOF, InputIndex, StateIndex
 from ..params import MPCCParams
+from ..system import PANDA, System
 from ..splines import arc_length as als
 from ..splines.arc_length import TrackSpline
 from ..utils import so3
@@ -58,10 +58,11 @@ def scheduled_weights(params: MPCCParams, rb: RobotData):
     return q_c, q_l, q_ori
 
 
-def error_info(track: TrackSpline, x: jnp.ndarray, rb: RobotData):
+def error_info(track: TrackSpline, x: jnp.ndarray, rb: RobotData,
+               system: System = PANDA):
     """Contouring/lag error decomposition + state Jacobians
     (`Cost::getErrorInfo`, `cost.cpp:82-117`)."""
-    s = x[StateIndex.s]
+    s = x[system.s_idx]
     p_ref = als.track_position(track, s)
     tangent = als.track_derivative(track, s)
     normal = als.track_second_derivative(track, s)
@@ -69,12 +70,12 @@ def error_info(track: TrackSpline, x: jnp.ndarray, rb: RobotData):
     lag_err = jnp.dot(tangent, total_err) * tangent
     cont_err = total_err - lag_err
 
-    d_total = jnp.zeros((3, NX), dtype=x.dtype)
-    d_total = d_total.at[:, :PANDA_DOF].set(rb.jv)
-    d_total = d_total.at[:, StateIndex.s].set(-tangent)
+    d_total = jnp.zeros((3, system.nx), dtype=x.dtype)
+    d_total = d_total.at[:, :system.dof].set(rb.jv)
+    d_total = d_total.at[:, system.s_idx].set(-tangent)
 
-    d_tangent = jnp.zeros((3, NX), dtype=x.dtype)
-    d_tangent = d_tangent.at[:, StateIndex.s].set(normal)
+    d_tangent = jnp.zeros((3, system.nx), dtype=x.dtype)
+    d_tangent = d_tangent.at[:, system.s_idx].set(normal)
 
     # replicates the reference formula verbatim, including its use of
     # ||lag_err|| * I (cost.cpp:110)
@@ -94,7 +95,8 @@ def desired_velocity(params: MPCCParams, s, s_max):
 
 def stage_cost(track: TrackSpline, x: jnp.ndarray, u: jnp.ndarray,
                rb: RobotData, is_terminal, params: MPCCParams,
-               exact_heading_jac: bool = False, with_derivatives: bool = True):
+               exact_heading_jac: bool = False, with_derivatives: bool = True,
+               system: System = PANDA):
     """Full stage cost at one knot.
 
     Returns ``obj`` if ``with_derivatives`` is False, else
@@ -106,25 +108,25 @@ def stage_cost(track: TrackSpline, x: jnp.ndarray, u: jnp.ndarray,
     c = params.cost
 
     # ---- contouring + progress (`getContouringCost`)
-    cont_err, lag_err, d_cont, d_lag, _, _ = error_info(track, x, rb)
+    cont_err, lag_err, d_cont, d_lag, _, _ = error_info(track, x, rb, system)
     qc_k = jnp.where(is_terminal, c.q_c_N_mult * q_c, q_c)
-    v_des = desired_velocity(params, x[StateIndex.s], track.length)
-    dv = x[StateIndex.vs] - v_des
+    v_des = desired_velocity(params, x[system.s_idx], track.length)
+    dv = x[system.vs_idx] - v_des
     obj_cont = (qc_k * jnp.dot(cont_err, cont_err)
                 + q_l * jnp.dot(lag_err, lag_err) + c.q_vs * dv * dv)
 
     # ---- heading (`getHeadingCost`)
-    r_ref = als.track_orientation(track, x[StateIndex.s])
-    dr_ref = als.track_orientation_derivative(track, x[StateIndex.s])
+    r_ref = als.track_orientation(track, x[system.s_idx])
+    dr_ref = als.track_orientation_derivative(track, x[system.s_idx])
     r_cur = rb.ee_rot
     r_bar = r_ref.T @ r_cur
     log_rbar = so3.log_rot_vec(r_bar)
     obj_head = q_ori * jnp.dot(log_rbar, log_rbar)
 
     # ---- input (`getInputCost`; zero at terminal knot)
-    dq = u[:PANDA_DOF]
+    dq = u[:system.dof]
     obj_input = jnp.where(is_terminal, 0.0,
-                          c.r_dq * jnp.dot(dq, dq) + c.r_dVs * u[InputIndex.dVs] ** 2)
+                          c.r_dq * jnp.dot(dq, dq) + c.r_dVs * u[system.dvs_idx] ** 2)
 
     # ---- singularity (`getSingularityCost`)
     obj_sing = -c.q_sing * rb.manipul
@@ -135,37 +137,37 @@ def stage_cost(track: TrackSpline, x: jnp.ndarray, u: jnp.ndarray,
 
     # ---------------- gradients ----------------
     f_x = (2.0 * qc_k * d_cont.T @ cont_err + 2.0 * q_l * d_lag.T @ lag_err)
-    f_x = f_x.at[StateIndex.vs].add(2.0 * c.q_vs * dv)
+    f_x = f_x.at[system.vs_idx].add(2.0 * c.q_vs * dv)
 
     jr_inv = (so3.right_jacobian_inverse(log_rbar) if exact_heading_jac
               else so3.right_jacobian_inverse_ref(log_rbar))
-    d_log = jnp.zeros((3, NX), dtype=dtype)
-    d_log = d_log.at[:, :PANDA_DOF].set(jr_inv @ r_cur.T @ rb.jw)
-    d_log = d_log.at[:, StateIndex.s].set(-jr_inv @ r_cur.T @ dr_ref)
+    d_log = jnp.zeros((3, system.nx), dtype=dtype)
+    d_log = d_log.at[:, :system.dof].set(jr_inv @ r_cur.T @ rb.jw)
+    d_log = d_log.at[:, system.s_idx].set(-jr_inv @ r_cur.T @ dr_ref)
     f_x = f_x + 2.0 * q_ori * d_log.T @ log_rbar
 
-    f_x = f_x.at[:PANDA_DOF].add(-c.q_sing * rb.d_manipul)
+    f_x = f_x.at[:system.dof].add(-c.q_sing * rb.d_manipul)
 
-    f_u = jnp.zeros(NU, dtype=dtype)
+    f_u = jnp.zeros(system.nu, dtype=dtype)
     not_term = jnp.where(is_terminal, 0.0, 1.0)
-    f_u = f_u.at[:PANDA_DOF].set(not_term * 2.0 * c.r_dq * dq)
-    f_u = f_u.at[InputIndex.dVs].set(not_term * 2.0 * c.r_dVs * u[InputIndex.dVs])
+    f_u = f_u.at[:system.dof].set(not_term * 2.0 * c.r_dq * dq)
+    f_u = f_u.at[system.dvs_idx].set(not_term * 2.0 * c.r_dVs * u[system.dvs_idx])
 
     # ---------------- Gauss-Newton Hessians ----------------
     f_xx = (2.0 * qc_k * d_cont.T @ d_cont + 2.0 * q_l * d_lag.T @ d_lag
             + 2.0 * q_ori * d_log.T @ d_log)
-    f_xx = f_xx.at[StateIndex.vs, StateIndex.vs].add(2.0 * c.q_vs)
+    f_xx = f_xx.at[system.vs_idx, system.vs_idx].add(2.0 * c.q_vs)
 
-    f_uu = jnp.zeros((NU, NU), dtype=dtype)
-    f_uu = f_uu.at[jnp.arange(PANDA_DOF), jnp.arange(PANDA_DOF)].set(
+    f_uu = jnp.zeros((system.nu, system.nu), dtype=dtype)
+    f_uu = f_uu.at[jnp.arange(system.dof), jnp.arange(system.dof)].set(
         not_term * 2.0 * c.r_dq)
-    f_uu = f_uu.at[InputIndex.dVs, InputIndex.dVs].set(not_term * 2.0 * c.r_dVs)
+    f_uu = f_uu.at[system.dvs_idx, system.dvs_idx].set(not_term * 2.0 * c.r_dVs)
 
-    f_xu = jnp.zeros((NX, NU), dtype=dtype)
+    f_xu = jnp.zeros((system.nx, system.nu), dtype=dtype)
 
     # Tikhonov regularization (`cost.cpp:353-354`)
     eye_reg = 1e-6
-    f_xx = f_xx + eye_reg * jnp.eye(NX, dtype=dtype)
-    f_uu = f_uu + eye_reg * jnp.eye(NU, dtype=dtype)
+    f_xx = f_xx + eye_reg * jnp.eye(system.nx, dtype=dtype)
+    f_uu = f_uu + eye_reg * jnp.eye(system.nu, dtype=dtype)
 
     return obj, f_x, f_u, f_xx, f_uu, f_xu

@@ -27,6 +27,7 @@ import numpy as np
 from ..config import (INF, N, N_CONSTR, N_EQ, N_INEQB, N_INEQP, N_VAR, NPC,
                       NU, NX, PANDA_DOF, input_offset, state_offset)
 from ..params import MPCCParams
+from ..system import PANDA, System
 from ..splines.arc_length import TrackSpline
 from .constraints import stage_constraints, state_bounds
 from .cost import stage_cost
@@ -81,10 +82,11 @@ _P_CU = _block_grid(_P_ROW[:N], _U_OFF, NPC, NU)
 # ------------------------------------------------------------------
 
 
-def split_z(z: jnp.ndarray):
-    """z (N_VAR,) -> xs (N+1, NX), us (N, NU)."""
-    xs = z[:NX * (N + 1)].reshape(N + 1, NX)
-    us = z[NX * (N + 1):].reshape(N, NU)
+def split_z(z: jnp.ndarray, system: System = PANDA):
+    """z (n_var,) -> xs (N+1, nx), us (N, nu)."""
+    nx, nu = system.nx, system.nu
+    xs = z[:nx * (N + 1)].reshape(N + 1, nx)
+    us = z[nx * (N + 1):].reshape(N, nu)
     return xs, us
 
 
@@ -93,9 +95,10 @@ def join_z(xs: jnp.ndarray, us: jnp.ndarray) -> jnp.ndarray:
 
 
 def us_padded(us: jnp.ndarray) -> jnp.ndarray:
-    """(N+1, NU) inputs with a zero terminal input (cost at knot N sees u=0,
+    """(N+1, nu) inputs with a zero terminal input (cost at knot N sees u=0,
     matching the reference which never stores u_N)."""
-    return jnp.concatenate([us, jnp.zeros((1, NU), dtype=us.dtype)], axis=0)
+    return jnp.concatenate([us, jnp.zeros((1, us.shape[1]), dtype=us.dtype)],
+                           axis=0)
 
 
 # Host-side (numpy) constant, deliberately NOT jnp: a module-level device
@@ -111,55 +114,60 @@ _IS_TERMINAL = np.arange(N + 1) == N
 
 
 def total_objective(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
-                    params: MPCCParams, exact_heading_jac: bool = False) -> jnp.ndarray:
+                    params: MPCCParams, exact_heading_jac: bool = False,
+                    system: System = PANDA) -> jnp.ndarray:
     """Scalar objective including the ddq smoothness term
     (`setCost` obj path, `osqp_interface.cpp:132-175`)."""
-    xs, us = split_z(z)
+    xs, us = split_z(z, system)
     up = us_padded(us)
     objs = jax.vmap(
         lambda x, u, k, t: stage_cost(track, x, u, index_robot_data(rb, k), t,
-                                      params, exact_heading_jac, with_derivatives=False)
+                                      params, exact_heading_jac,
+                                      with_derivatives=False, system=system)
     )(xs, up, jnp.arange(N + 1), _IS_TERMINAL)
     obj = jnp.sum(objs)
-    ddq = us[1:, :PANDA_DOF] - us[:-1, :PANDA_DOF]
+    ddq = us[1:, :system.dof] - us[:-1, :system.dof]
     obj = obj + params.cost.r_ddq * jnp.sum(ddq * ddq)
     return obj
 
 
 def constraint_values(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
-                      params: MPCCParams, current_u: jnp.ndarray, ts):
-    """(constr, l, u) stacked over all 479 rows, value-only
+                      params: MPCCParams, current_u: jnp.ndarray, ts,
+                      system: System = PANDA):
+    """(constr, l, u) stacked over all rows, value-only
     (`setConstraints` without Jacobians) — used by the filter line search."""
     dtype = z.dtype
-    xs, us = split_z(z)
+    dof, nx, nu = system.dof, system.nx, system.nu
+    xs, us = split_z(z, system)
     up = us_padded(us)
 
     # equality: defect d_i = T_x_inv (x_i - (Ad x_{i-1} + Bd u_{i-1} + gd));
     # row 0 pins x_0 with value 0
     tx_inv = params.normalization.t_x_inv
-    ad, bd = _discrete_ab(ts, dtype)
+    ad, bd = _discrete_ab(ts, dtype, system)
     pred = xs[:-1] @ ad.T + us @ bd.T
     defect = (xs[1:] - pred) * tx_inv[None, :]
-    c_eq = jnp.concatenate([jnp.zeros(NX, dtype=dtype), defect.reshape(-1)])
-    l_eq = jnp.zeros(N_EQ, dtype=dtype)
-    u_eq = jnp.zeros(N_EQ, dtype=dtype)
+    c_eq = jnp.concatenate([jnp.zeros(nx, dtype=dtype), defect.reshape(-1)])
+    l_eq = jnp.zeros(system.n_eq, dtype=dtype)
+    u_eq = jnp.zeros(system.n_eq, dtype=dtype)
 
     # bounds rows: values are the raw states/inputs/rates
-    bx_l, bx_u = jax.vmap(lambda x: state_bounds(x, params, track.length))(xs)
+    bx_l, bx_u = jax.vmap(
+        lambda x: state_bounds(x, params, track.length, system))(xs)
     c_bx = xs.reshape(-1)
     c_bu = us.reshape(-1)
     rate = jnp.concatenate([
-        (us[0, :PANDA_DOF] / ts)[None, :],
-        (us[1:, :PANDA_DOF] - us[:-1, :PANDA_DOF]) / ts,
-    ], axis=0)  # (N, 7)
-    rate_pad = jnp.concatenate([rate, jnp.zeros((N, NU - PANDA_DOF), dtype=dtype)], axis=1)
+        (us[0, :dof] / ts)[None, :],
+        (us[1:, :dof] - us[:-1, :dof]) / ts,
+    ], axis=0)  # (N, dof)
+    rate_pad = jnp.concatenate([rate, jnp.zeros((N, nu - dof), dtype=dtype)], axis=1)
     c_rate = rate_pad.reshape(-1)
     b = params.bounds
     l_bu = jnp.tile(b.u_l, N)
     u_bu = jnp.tile(b.u_u, N)
-    ddq_l0 = b.ddq_l + current_u[:PANDA_DOF] / ts
-    ddq_u0 = b.ddq_u + current_u[:PANDA_DOF] / ts
-    zpad = jnp.zeros(NU - PANDA_DOF, dtype=dtype)
+    ddq_l0 = b.ddq_l + current_u[:dof] / ts
+    ddq_u0 = b.ddq_u + current_u[:dof] / ts
+    zpad = jnp.zeros(nu - dof, dtype=dtype)
     l_rate = jnp.concatenate([
         jnp.concatenate([ddq_l0, zpad]),
         jnp.tile(jnp.concatenate([b.ddq_l, zpad]), N - 1)])
@@ -173,7 +181,8 @@ def constraint_values(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     # polytopic rows
     cp, cpl, cpu = jax.vmap(
         lambda x, u, k, t: stage_constraints(x, u, index_robot_data(rb, k), t,
-                                             params, with_jacobian=False)
+                                             params, with_jacobian=False,
+                                             system=system)
     )(xs, up, jnp.arange(N + 1), _IS_TERMINAL)
 
     constr = jnp.concatenate([c_eq, c_ineqb, cp.reshape(-1)])
@@ -182,9 +191,9 @@ def constraint_values(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     return constr, lvec, uvec
 
 
-def _discrete_ab(ts, dtype):
+def _discrete_ab(ts, dtype, system: System = PANDA):
     from ..models.dynamics import discrete_ab
-    ad, bd, _ = discrete_ab(float(ts))
+    ad, bd, _ = discrete_ab(float(ts), system)
     return jnp.asarray(ad, dtype=dtype), jnp.asarray(bd, dtype=dtype)
 
 
@@ -201,6 +210,11 @@ def build_qp(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     Returns ``(P, qvec, A, l, u, obj, constr)`` where the QP step ``dz``
     (normalized) solves  min 1/2 dz'P dz + qvec'dz  s.t.
     l - constr <= A dz <= u - constr  (the caller forms those offsets).
+
+    Panda-only: this dense layout exists for OSQP-conformance of the
+    reference's active system (its static index grids are built from the
+    Panda dims at import).  The system-generic path is the stage-separable
+    assembly in `qp_stages.py` + the Riccati/IPM backend.
     """
     dtype = z.dtype
     tx = params.normalization.t_x
@@ -286,10 +300,12 @@ def build_qp(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     return p_mat, qvec, a_mat, lvec, uvec, obj, constr
 
 
-def denormalize_step(step: jnp.ndarray, params: MPCCParams) -> jnp.ndarray:
+def denormalize_step(step: jnp.ndarray, params: MPCCParams,
+                     system: System = PANDA) -> jnp.ndarray:
     """Normalized QP step -> raw decision-space step (`deNormalizeStep`)."""
+    nx, nu = system.nx, system.nu
     tx = params.normalization.t_x
     tu = params.normalization.t_u
-    sx = step[:NX * (N + 1)].reshape(N + 1, NX) * tx[None, :]
-    su = step[NX * (N + 1):].reshape(N, NU) * tu[None, :]
+    sx = step[:nx * (N + 1)].reshape(N + 1, nx) * tx[None, :]
+    su = step[nx * (N + 1):].reshape(N, nu) * tu[None, :]
     return jnp.concatenate([sx.reshape(-1), su.reshape(-1)])

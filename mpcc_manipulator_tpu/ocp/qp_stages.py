@@ -37,19 +37,21 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..config import N, NPC, NU, NX, PANDA_DOF, StateIndex
-
-StateIndexS = StateIndex.s
+from ..config import N
 from ..params import MPCCParams
 from ..splines.arc_length import TrackSpline
+from ..system import PANDA, System
 from .constraints import stage_constraints, state_bounds
 from .cost import stage_cost
 from .qp_data import _IS_TERMINAL, _discrete_ab, split_z, us_padded
 from .robot_data import RobotData, index_robot_data
 
-NXT = NX + NU       # augmented state dim (17)
-NZT = NXT + NU      # stage variable dim (25)
-NC_STAGE = 2 * NX + 2 * NU + 2 * PANDA_DOF + NPC   # 59
+# Panda-instance dims kept as module constants for backward compatibility
+# (tests, solver shape docs); the functions below derive everything from the
+# `system` argument.
+NXT = PANDA.nxt       # augmented state dim (17)
+NZT = PANDA.nzt       # stage variable dim (25)
+NC_STAGE = PANDA.nc_stage   # 59
 
 
 @struct.dataclass
@@ -71,31 +73,37 @@ class StageQP:
     mask: jnp.ndarray     # (N+1, NC_STAGE) 1.0 active / 0.0 inactive
 
 
-def _row_masks(dtype):
-    m = np.zeros((N + 1, NC_STAGE))
-    m[1:, 0:2 * NX] = 1.0                        # state box k >= 1
-    m[:N, 2 * NX:2 * NX + 2 * NU] = 1.0          # input box k <= N-1
-    m[:N, 2 * NX + 2 * NU:2 * NX + 2 * NU + 2 * PANDA_DOF] = 1.0  # ddq
-    m[:N, 2 * NX + 2 * NU + 2 * PANDA_DOF:] = 1.0                 # polytopic
+def _row_masks(system: System, dtype):
+    nx, nu, dof = system.nx, system.nu, system.dof
+    m = np.zeros((N + 1, system.nc_stage))
+    m[1:, 0:2 * nx] = 1.0                        # state box k >= 1
+    m[:N, 2 * nx:2 * nx + 2 * nu] = 1.0          # input box k <= N-1
+    m[:N, 2 * nx + 2 * nu:2 * nx + 2 * nu + 2 * dof] = 1.0  # rate rows
+    m[:N, 2 * nx + 2 * nu + 2 * dof:] = 1.0                 # polytopic
     return jnp.asarray(m, dtype=dtype)
 
 
 def build_qp_stages(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
                     params: MPCCParams, current_u: jnp.ndarray, ts,
-                    exact_heading_jac: bool = False) -> StageQP:
+                    exact_heading_jac: bool = False,
+                    system: System = PANDA) -> StageQP:
     dtype = z.dtype
+    nx, nu, dof = system.nx, system.nu, system.dof
+    nxt, nzt = system.nxt, system.nzt
+    nc_stage = system.nc_stage
+    s_idx = system.s_idx
     tx = params.normalization.t_x
     tu = params.normalization.t_u
     tx_inv = params.normalization.t_x_inv
-    tudq = tu[:PANDA_DOF]
-    xs, us = split_z(z)
+    tudq = tu[:dof]
+    xs, us = split_z(z, system)
     up = us_padded(us)
 
     # ---- normalized per-knot cost blocks (same math as build_qp)
     obj_k, fx, fu, fxx, fuu, fxu = jax.vmap(
         lambda x, u, k, t: stage_cost(track, x, u, index_robot_data(rb, k), t,
                                       params, exact_heading_jac,
-                                      with_derivatives=True)
+                                      with_derivatives=True, system=system)
     )(xs, up, jnp.arange(N + 1), _IS_TERMINAL)
     g_x = fx * tx[None, :]
     g_u = (fu * tu[None, :])[:N]
@@ -104,121 +112,124 @@ def build_qp_stages(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     h_xu = (tx[None, :, None] * fxu * tu[None, None, :])[:N]
 
     # ---- stage Hessians/gradients in augmented coordinates
-    h = jnp.zeros((N, NZT, NZT), dtype=dtype)
-    g = jnp.zeros((N, NZT), dtype=dtype)
+    h = jnp.zeros((N, nzt, nzt), dtype=dtype)
+    g = jnp.zeros((N, nzt), dtype=dtype)
     # x-part cost of knot k lives in stage k's x~ block (k = 0..N-1)
-    h = h.at[:, :NX, :NX].set(h_xx[:N])
-    h = h.at[:, :NX, NXT:].set(h_xu)
-    h = h.at[:, NXT:, :NX].set(jnp.swapaxes(h_xu, -1, -2))
-    h = h.at[:, NXT:, NXT:].set(h_uu)
-    g = g.at[:, :NX].set(g_x[:N])
-    g = g.at[:, NXT:].set(g_u)
+    h = h.at[:, :nx, :nx].set(h_xx[:N])
+    h = h.at[:, :nx, nxt:].set(h_xu)
+    h = h.at[:, nxt:, :nx].set(jnp.swapaxes(h_xu, -1, -2))
+    h = h.at[:, nxt:, nxt:].set(h_uu)
+    g = g.at[:, :nx].set(g_x[:N])
+    g = g.at[:, nxt:].set(g_u)
 
     # ddq smoothness: stage k covers the pair (u_k, u_{k-1}) for k = 1..N-1
     r_ddq = params.cost.r_ddq
-    tu2 = tudq[:, None] * tudq[None, :] * jnp.eye(PANDA_DOF, dtype=dtype)
+    tu2 = tudq[:, None] * tudq[None, :] * jnp.eye(dof, dtype=dtype)
     pair_mask = jnp.concatenate([jnp.zeros(1, dtype=dtype),
                                  jnp.ones(N - 1, dtype=dtype)])
     two_r = 2.0 * r_ddq * pair_mask  # (N,)
     # blocks: +2r on u_k, +2r on u^_{k-1}, -2r cross
-    h = h.at[:, NXT:NXT + PANDA_DOF, NXT:NXT + PANDA_DOF].add(
+    h = h.at[:, nxt:nxt + dof, nxt:nxt + dof].add(
         two_r[:, None, None] * tu2)
-    h = h.at[:, NX:NX + PANDA_DOF, NX:NX + PANDA_DOF].add(
+    h = h.at[:, nx:nx + dof, nx:nx + dof].add(
         two_r[:, None, None] * tu2)
-    h = h.at[:, NX:NX + PANDA_DOF, NXT:NXT + PANDA_DOF].add(
+    h = h.at[:, nx:nx + dof, nxt:nxt + dof].add(
         -two_r[:, None, None] * tu2)
-    h = h.at[:, NXT:NXT + PANDA_DOF, NX:NX + PANDA_DOF].add(
+    h = h.at[:, nxt:nxt + dof, nx:nx + dof].add(
         -two_r[:, None, None] * tu2)
     # gradient: +-2r T (dq_k - dq_{k-1})
-    dq_all = us[:, :PANDA_DOF]
-    dq_prev = jnp.concatenate([current_u[None, :PANDA_DOF], dq_all[:-1]], axis=0)
-    ddq_pair = dq_all - dq_prev     # (N, 7); stage k pair diff
-    g = g.at[:, NXT:NXT + PANDA_DOF].add(
+    dq_all = us[:, :dof]
+    dq_prev = jnp.concatenate([current_u[None, :dof], dq_all[:-1]], axis=0)
+    ddq_pair = dq_all - dq_prev     # (N, dof); stage k pair diff
+    g = g.at[:, nxt:nxt + dof].add(
         two_r[:, None] * tudq[None, :] * ddq_pair)
-    g = g.at[:, NX:NX + PANDA_DOF].add(
+    g = g.at[:, nx:nx + dof].add(
         -two_r[:, None] * tudq[None, :] * ddq_pair)
 
     # terminal cost: knot N x-part only
-    h_term = jnp.zeros((NXT, NXT), dtype=dtype).at[:NX, :NX].set(h_xx[N])
-    g_term = jnp.zeros(NXT, dtype=dtype).at[:NX].set(g_x[N])
+    h_term = jnp.zeros((nxt, nxt), dtype=dtype).at[:nx, :nx].set(h_xx[N])
+    g_term = jnp.zeros(nxt, dtype=dtype).at[:nx].set(g_x[N])
 
     # ---- dynamics in augmented normalized coordinates
-    ad, bd = _discrete_ab(ts, dtype)
+    ad, bd = _discrete_ab(ts, dtype, system)
     ad_n = tx_inv[:, None] * ad * tx[None, :]
     bd_n = tx_inv[:, None] * bd * tu[None, :]
-    at = jnp.zeros((NXT, NXT), dtype=dtype).at[:NX, :NX].set(ad_n)
-    bt = jnp.zeros((NXT, NU), dtype=dtype).at[:NX, :].set(bd_n)
-    bt = bt.at[NX:, :].set(jnp.eye(NU, dtype=dtype))
+    at = jnp.zeros((nxt, nxt), dtype=dtype).at[:nx, :nx].set(ad_n)
+    bt = jnp.zeros((nxt, nu), dtype=dtype).at[:nx, :].set(bd_n)
+    bt = bt.at[nx:, :].set(jnp.eye(nu, dtype=dtype))
     # defect: e_k = -T_x_inv (x_{k+1} - (Ad x_k + Bd u_k)) on the x rows
     pred = xs[:-1] @ ad.T + us @ bd.T
     defect = (xs[1:] - pred) * tx_inv[None, :]
-    e = jnp.zeros((N, NXT), dtype=dtype).at[:, :NX].set(-defect)
+    e = jnp.zeros((N, nxt), dtype=dtype).at[:, :nx].set(-defect)
 
     # ---- inequality rows
-    c_rows = jnp.zeros((N + 1, NC_STAGE, NZT), dtype=dtype)
-    d_vec = jnp.zeros((N + 1, NC_STAGE), dtype=dtype)
+    c_rows = jnp.zeros((N + 1, nc_stage, nzt), dtype=dtype)
+    d_vec = jnp.zeros((N + 1, nc_stage), dtype=dtype)
 
     # state box: T_x dx^ <= ux - x ; -T_x dx^ <= x - lx
-    bx_l, bx_u = jax.vmap(lambda x: state_bounds(x, params, track.length))(xs)
+    bx_l, bx_u = jax.vmap(
+        lambda x: state_bounds(x, params, track.length, system))(xs)
     tx_diag = jnp.diag(tx)
-    c_rows = c_rows.at[:, 0:NX, :NX].set(jnp.tile(tx_diag[None], (N + 1, 1, 1)))
-    c_rows = c_rows.at[:, NX:2 * NX, :NX].set(
+    c_rows = c_rows.at[:, 0:nx, :nx].set(jnp.tile(tx_diag[None], (N + 1, 1, 1)))
+    c_rows = c_rows.at[:, nx:2 * nx, :nx].set(
         jnp.tile(-tx_diag[None], (N + 1, 1, 1)))
-    d_vec = d_vec.at[:, 0:NX].set(bx_u - xs)
-    d_vec = d_vec.at[:, NX:2 * NX].set(xs - bx_l)
+    d_vec = d_vec.at[:, 0:nx].set(bx_u - xs)
+    d_vec = d_vec.at[:, nx:2 * nx].set(xs - bx_l)
     # The path-parameter rows are only weakly controllable over the first
     # stages (s_1 is fully determined by the pinned x~_0; s_k moves at most
     # O(Ts^2 k^2 dVs)), so a guess with s marginally outside its box makes
     # those rows structurally infeasible and blows up the IPM duals.  Clamp
     # their offsets to a tiny feasible margin — the dense OSQP-style path
     # converges to the same "stay at the violation" compromise numerically.
-    s_rows = jnp.array([StateIndexS, NX + StateIndexS])
+    s_rows = jnp.array([s_idx, nx + s_idx])
     d_vec = d_vec.at[:, s_rows].set(jnp.maximum(d_vec[:, s_rows], 1e-6))
 
     # input box on u_k
     b = params.bounds
     tu_diag = jnp.diag(tu)
-    o = 2 * NX
-    c_rows = c_rows.at[:N, o:o + NU, NXT:].set(jnp.tile(tu_diag[None], (N, 1, 1)))
-    c_rows = c_rows.at[:N, o + NU:o + 2 * NU, NXT:].set(
+    o = 2 * nx
+    c_rows = c_rows.at[:N, o:o + nu, nxt:].set(jnp.tile(tu_diag[None], (N, 1, 1)))
+    c_rows = c_rows.at[:N, o + nu:o + 2 * nu, nxt:].set(
         jnp.tile(-tu_diag[None], (N, 1, 1)))
-    d_vec = d_vec.at[:N, o:o + NU].set(b.u_u[None, :] - us)
-    d_vec = d_vec.at[:N, o + NU:o + 2 * NU].set(us - b.u_l[None, :])
+    d_vec = d_vec.at[:N, o:o + nu].set(b.u_u[None, :] - us)
+    d_vec = d_vec.at[:N, o + nu:o + 2 * nu].set(us - b.u_l[None, :])
 
     # ddq rate rows: (1/Ts) T_dq (du_k - du^_{k-1})
-    o = 2 * NX + 2 * NU
+    o = 2 * nx + 2 * nu
     rate_blk = jnp.diag(tudq) / ts
-    c_rows = c_rows.at[:N, o:o + PANDA_DOF, NXT:NXT + PANDA_DOF].set(
+    c_rows = c_rows.at[:N, o:o + dof, nxt:nxt + dof].set(
         jnp.tile(rate_blk[None], (N, 1, 1)))
-    c_rows = c_rows.at[:N, o:o + PANDA_DOF, NX:NX + PANDA_DOF].set(
+    c_rows = c_rows.at[:N, o:o + dof, nx:nx + dof].set(
         jnp.tile(-rate_blk[None], (N, 1, 1)))
-    c_rows = c_rows.at[:N, o + PANDA_DOF:o + 2 * PANDA_DOF,
-                       NXT:NXT + PANDA_DOF].set(
+    c_rows = c_rows.at[:N, o + dof:o + 2 * dof,
+                       nxt:nxt + dof].set(
         jnp.tile(-rate_blk[None], (N, 1, 1)))
-    c_rows = c_rows.at[:N, o + PANDA_DOF:o + 2 * PANDA_DOF,
-                       NX:NX + PANDA_DOF].set(
+    c_rows = c_rows.at[:N, o + dof:o + 2 * dof,
+                       nx:nx + dof].set(
         jnp.tile(rate_blk[None], (N, 1, 1)))
-    rate_val = ddq_pair / ts   # (N, 7) current rate values
-    d_vec = d_vec.at[:N, o:o + PANDA_DOF].set(b.ddq_u[None, :] - rate_val)
-    d_vec = d_vec.at[:N, o + PANDA_DOF:o + 2 * PANDA_DOF].set(
+    rate_val = ddq_pair / ts   # (N, dof) current rate values
+    d_vec = d_vec.at[:N, o:o + dof].set(b.ddq_u[None, :] - rate_val)
+    d_vec = d_vec.at[:N, o + dof:o + 2 * dof].set(
         rate_val - b.ddq_l[None, :])
 
     # polytopic rows (upper-only): cx T_x dx^ + cu T_u du <= -c
     cvals, _, _, cx, cu = jax.vmap(
         lambda x, u, k, t: stage_constraints(x, u, index_robot_data(rb, k), t,
-                                             params, with_jacobian=True)
+                                             params, with_jacobian=True,
+                                             system=system)
     )(xs, up, jnp.arange(N + 1), _IS_TERMINAL)
-    o = 2 * NX + 2 * NU + 2 * PANDA_DOF
-    c_rows = c_rows.at[:, o:, :NX].set(cx * tx[None, None, :])
-    c_rows = c_rows.at[:N, o:, NXT:].set(cu[:N] * tu[None, None, :])
+    o = 2 * nx + 2 * nu + 2 * dof
+    c_rows = c_rows.at[:, o:, :nx].set(cx * tx[None, None, :])
+    c_rows = c_rows.at[:N, o:, nxt:].set(cu[:N] * tu[None, None, :])
     d_vec = d_vec.at[:, o:].set(-cvals)
 
     return StageQP(h=h, g=g, h_term=h_term, g_term=g_term, at=at, bt=bt, e=e,
-                   c_rows=c_rows, d_vec=d_vec, mask=_row_masks(dtype))
+                   c_rows=c_rows, d_vec=d_vec, mask=_row_masks(system, dtype))
 
 
-def stage_step_to_dense(dx_tilde: jnp.ndarray, du: jnp.ndarray) -> jnp.ndarray:
-    """(N+1, NXT) augmented-state deltas + (N, NU) input deltas -> the dense
+def stage_step_to_dense(dx_tilde: jnp.ndarray, du: jnp.ndarray,
+                        system: System = PANDA) -> jnp.ndarray:
+    """(N+1, nxt) augmented-state deltas + (N, nu) input deltas -> the dense
     decision-vector layout (normalized step, `qp_data.split_z` ordering)."""
-    dxs = dx_tilde[:, :NX]           # (N+1, NX)
+    dxs = dx_tilde[:, :system.nx]           # (N+1, nx)
     return jnp.concatenate([dxs.reshape(-1), du.reshape(-1)])

@@ -13,6 +13,29 @@ stale cache while s, vs, u keep moving.  We reproduce exactly that: one
 batched evaluation over the (N+1) horizon knots per tick, outside the SQP
 while-loop.  On TPU the whole horizon (or scenarios x knots) is one fused
 batch of FK chains and NN matmuls.
+
+System dispatch: the cache is shape-generic over :class:`~..system.System`
+(all gradient fields sized ``(dof,)``).  For the mobile platform:
+
+* self-collision depends only on the arm joints — base columns of the
+  gradient are zero;
+* the env-collision MLP was trained with the obstacle in the arm base frame
+  (`EnvCollisionModel.cpp`, input ``[q(7); obs_pos(3)]``), so the world
+  obstacle is transformed into the moving base frame and the distance
+  Jacobian w.r.t. the base coordinates follows by the chain rule through
+  that transform;
+* singularity handling (reward + constraint) uses the **arm** manipulability
+  ``m(q_arm)``, not the full 6 x 10 Jacobian's: the full-Jacobian volume grows
+  without bound in base displacement (the yaw column's lever arm is
+  ``|p_ee - p_base|``), which (a) makes the reward an unbounded objective the
+  optimizer pumps through null-space motion (verified: closed-loop runaway —
+  base retreating at its rate limit while an arm joint swings to inflate
+  ``m``), and (b) means the singularity *constraint* would never bind,
+  defeating its purpose of keeping the arm away from wrist singularities.
+  Arm manipulability is rotation-invariant, so evaluating it in the arm base
+  frame is exact.  Gradient by exact AD, zero on base columns (there is no
+  reference FD behavior to conform to — the mobile system is dormant in the
+  reference, `robot_model.cpp:321-352`).
 """
 
 from __future__ import annotations
@@ -21,26 +44,27 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..config import PANDA_DOF, PANDA_NUM_LINKS
 from ..models import collision_nn as cnn
 from ..models import kinematics as kin
+from ..models import kinematics_mobile as kinm
+from ..system import PANDA, System
 
 
 @struct.dataclass
 class RobotData:
     """Batched over a leading knot axis when produced by :func:`compute_robot_data`."""
 
-    q: jnp.ndarray            # (..., 7)
+    q: jnp.ndarray            # (..., dof)
     ee_pos: jnp.ndarray       # (..., 3)
     ee_rot: jnp.ndarray       # (..., 3, 3)
-    jv: jnp.ndarray           # (..., 3, 7)
-    jw: jnp.ndarray           # (..., 3, 7)
+    jv: jnp.ndarray           # (..., 3, dof)
+    jw: jnp.ndarray           # (..., 3, dof)
     manipul: jnp.ndarray      # (...,)
-    d_manipul: jnp.ndarray    # (..., 7)
+    d_manipul: jnp.ndarray    # (..., dof)
     sel_dist: jnp.ndarray     # (...,)  [cm]
-    d_sel_dist: jnp.ndarray   # (..., 7)
-    env_dist: jnp.ndarray     # (..., 9) [cm]
-    d_env_dist: jnp.ndarray   # (..., 9, 7)
+    d_sel_dist: jnp.ndarray   # (..., dof)
+    env_dist: jnp.ndarray     # (..., num_links) [cm]
+    d_env_dist: jnp.ndarray   # (..., num_links, dof)
     obs_radius: jnp.ndarray   # scalar (broadcast)
 
 
@@ -56,20 +80,62 @@ def _single_knot(q, obs_pos, sel_nn: cnn.MLPParams, env_nn: cnn.MLPParams,
     env_in = jnp.concatenate([q, obs_pos])
     env, d_env_full = cnn.mlp_forward_jacobian(env_nn, env_in)
     # reference slices the env Jacobian to the joint columns (`robot_data.h:85`)
-    d_env = d_env_full[:, :PANDA_DOF]
+    d_env = d_env_full[:, :q.shape[0]]
     return p_ee, r_ee, jv, jw, manipul, d_manipul, sel[0], d_sel[0], env, d_env
+
+
+def _single_knot_mobile(q_m, obs_pos, sel_nn: cnn.MLPParams,
+                        env_nn: cnn.MLPParams):
+    """10-DOF variant: q_m = [x_b, y_b, th_b, q1..q7]."""
+    dtype = q_m.dtype
+    base, q = kinm.split_q(q_m)
+    rb, pb = kinm._base_transform(base)
+    p_ee = kinm.ee_position(q_m)
+    r_ee = kinm.ee_orientation(q_m)
+    j = kinm.ee_jacobian(q_m)
+    jv, jw = j[:3], j[3:]
+    # arm-only manipulability (see module docstring); zero base gradient
+    manipul = kin.manipulability(q)
+    d_manipul = jnp.concatenate(
+        [jnp.zeros(3, dtype=dtype), kin.manipulability_gradient_ad(q)])
+
+    # self-collision: arm joints only; base columns zero
+    sel, d_sel_arm = cnn.mlp_forward_jacobian(sel_nn, q)
+    d_sel = jnp.concatenate([jnp.zeros(3, dtype=dtype), d_sel_arm[0]])
+
+    # env-collision: obstacle expressed in the (moving) arm base frame
+    rel = obs_pos - pb
+    obs_local = rb.T @ rel
+    env_in = jnp.concatenate([q, obs_local])
+    env, d_env_full = cnn.mlp_forward_jacobian(env_nn, env_in)
+    d_env_q = d_env_full[:, :q.shape[0]]
+    d_env_o = d_env_full[:, q.shape[0]:]          # (links, 3) wrt obs_local
+    # chain rule: d obs_local/d(x_b, y_b, th_b)
+    th = base[2]
+    c, s = jnp.cos(th), jnp.sin(th)
+    drt_dth = jnp.array([[-s, c, 0.0], [-c, -s, 0.0], [0.0, 0.0, 0.0]],
+                        dtype=dtype)              # d(R^T)/dth
+    d_obs_local = jnp.concatenate(
+        [-rb.T[:, :2], (drt_dth @ rel)[:, None]], axis=1)   # (3, 3)
+    d_env_base = d_env_o @ d_obs_local            # (links, 3)
+    d_env = jnp.concatenate([d_env_base, d_env_q], axis=1)  # (links, dof)
+    return p_ee, r_ee, jv, jw, manipul, d_manipul, sel[0], d_sel, env, d_env
 
 
 def compute_robot_data(qs: jnp.ndarray, obs_pos: jnp.ndarray, obs_radius,
                        sel_nn: cnn.MLPParams, env_nn: cnn.MLPParams,
-                       mani_grad: str = "fd") -> RobotData:
+                       mani_grad: str = "fd",
+                       system: System = PANDA) -> RobotData:
     """Evaluate the full cache for a batch of joint configurations.
 
-    ``qs``: (K, 7) — typically K = N+1 horizon knots.  The obstacle is shared
-    across knots (the reference passes one obstacle per tick,
+    ``qs``: (K, dof) — typically K = N+1 horizon knots.  The obstacle is
+    shared across knots (the reference passes one obstacle per tick,
     `osqp_interface.cpp:102-108`).
     """
-    f = jax.vmap(lambda q: _single_knot(q, obs_pos, sel_nn, env_nn, mani_grad))
+    if system.base_dof == 0:
+        f = jax.vmap(lambda q: _single_knot(q, obs_pos, sel_nn, env_nn, mani_grad))
+    else:
+        f = jax.vmap(lambda q: _single_knot_mobile(q, obs_pos, sel_nn, env_nn))
     p_ee, r_ee, jv, jw, mani, d_mani, sel, d_sel, env, d_env = f(qs)
     return RobotData(
         q=qs, ee_pos=p_ee, ee_rot=r_ee, jv=jv, jw=jw,

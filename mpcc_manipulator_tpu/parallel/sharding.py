@@ -23,11 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import NU, NX, N_VAR
 from ..models import collision_nn as cnn
 from ..mpc import MPCCarry, init_carry, mpc_step
 from ..params import MPCCParams, SQPConfig
 from ..splines.arc_length import TrackSpline
+from ..system import PANDA, System
 
 
 def make_mesh(devices=None, axis_name: str = "batch") -> Mesh:
@@ -36,8 +36,9 @@ def make_mesh(devices=None, axis_name: str = "batch") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def batch_init_carry(batch: int, dtype=jnp.float32) -> MPCCarry:
-    one = init_carry(dtype)
+def batch_init_carry(batch: int, dtype=jnp.float32,
+                     system: System = PANDA) -> MPCCarry:
+    one = init_carry(dtype, system)
     return jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape), one)
 
 
@@ -58,21 +59,24 @@ def batched_mpc_step(track: TrackSpline, params: MPCCParams,
                      carry: MPCCarry, x0: jnp.ndarray, u0: jnp.ndarray,
                      obs_pos: jnp.ndarray, obs_radius: jnp.ndarray,
                      ts: float = 0.01, cfg: SQPConfig = SQPConfig(),
-                     exact_heading_jac: bool = False):
+                     exact_heading_jac: bool = False,
+                     system: System = PANDA):
     """vmapped MPC tick over a leading scenario axis.
 
     All scenario inputs carry a leading batch dim; track/params/weights are
     shared.  Composes with jit + shardings: under a mesh the batch axis
     splits across chips and each chip runs its share as one fused program.
     """
-    step = partial(mpc_step, ts=ts, cfg=cfg, exact_heading_jac=exact_heading_jac)
+    step = partial(mpc_step, ts=ts, cfg=cfg, exact_heading_jac=exact_heading_jac,
+                   system=system)
     return jax.vmap(
         lambda c, x, u, op, orr: step(track, params, sel_nn, env_nn, c, x, u, op, orr)
     )(carry, x0, u0, obs_pos, obs_radius)
 
 
 def make_sharded_step(mesh: Mesh, ts: float = 0.01, cfg: SQPConfig = SQPConfig(),
-                      axis_name: str = "batch", exact_heading_jac: bool = False):
+                      axis_name: str = "batch", exact_heading_jac: bool = False,
+                      system: System = PANDA):
     """jit-compiled batched step with explicit in/out shardings on the mesh.
 
     Returns ``step(track, params, sel_nn, env_nn, carry, x0, u0, obs_pos,
@@ -85,7 +89,8 @@ def make_sharded_step(mesh: Mesh, ts: float = 0.01, cfg: SQPConfig = SQPConfig()
     def step(track, params, sel_nn, env_nn, carry, x0, u0, obs_pos, obs_radius):
         return batched_mpc_step(track, params, sel_nn, env_nn, carry, x0, u0,
                                 obs_pos, obs_radius, ts=ts, cfg=cfg,
-                                exact_heading_jac=exact_heading_jac)
+                                exact_heading_jac=exact_heading_jac,
+                                system=system)
 
     shardings = (repl_sh, repl_sh, repl_sh, repl_sh,
                  batch_sh, batch_sh, batch_sh, batch_sh, batch_sh)

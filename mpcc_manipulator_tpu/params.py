@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from .config import NU, NX, PANDA_DOF, StateIndex
+from .system import PANDA, System
 
 # --------------------------------------------------------------------------
 # Asset resolution
@@ -145,18 +145,38 @@ _X_KEYS = ["q1", "q2", "q3", "q4", "q5", "q6", "q7", "s", "vs"]
 _U_KEYS = ["dq1", "dq2", "dq3", "dq4", "dq5", "dq6", "dq7", "dVs"]
 _DDQ_KEYS = ["ddq1", "ddq2", "ddq3", "ddq4", "ddq5", "ddq6", "ddq7"]
 
+# Mobile-base (Husky+Panda) extension keys, prepended for system.base_dof=3;
+# values come from assets/params/mobile.json merged over the panda files.
+_XB_KEYS = ["xb", "yb", "thb"]
+_UB_KEYS = ["dxb", "dyb", "dthb"]
+_DDB_KEYS = ["ddxb", "ddyb", "ddthb"]
+
+
+def _sys_keys(system: System):
+    if system.base_dof == 0:
+        return _X_KEYS, _U_KEYS, _DDQ_KEYS
+    return _XB_KEYS + _X_KEYS, _UB_KEYS + _U_KEYS, _DDB_KEYS + _DDQ_KEYS
+
+
+def _merge_mobile(js: dict, file: str, system: System) -> dict:
+    if system.base_dof == 0:
+        return js
+    mob = _load_json(os.path.join(os.path.dirname(file), "mobile.json"))
+    return {**mob, **js}
+
 
 def load_bounds_params(file: str, overrides: Mapping[str, float] | None = None,
-                       dtype=jnp.float64) -> BoundsParams:
-    js = _load_json(file)
+                       dtype=jnp.float64, system: System = PANDA) -> BoundsParams:
+    js = _merge_mobile(_load_json(file), file, system)
+    xk, uk, ddk = _sys_keys(system)
     g = lambda k: float(_get(js, overrides, k))
     return BoundsParams(
-        x_l=jnp.asarray([g(k + "l") for k in _X_KEYS], dtype=dtype),
-        x_u=jnp.asarray([g(k + "u") for k in _X_KEYS], dtype=dtype),
-        u_l=jnp.asarray([g(k + "l") for k in _U_KEYS], dtype=dtype),
-        u_u=jnp.asarray([g(k + "u") for k in _U_KEYS], dtype=dtype),
-        ddq_l=jnp.asarray([g(k + "l") for k in _DDQ_KEYS], dtype=dtype),
-        ddq_u=jnp.asarray([g(k + "u") for k in _DDQ_KEYS], dtype=dtype),
+        x_l=jnp.asarray([g(k + "l") for k in xk], dtype=dtype),
+        x_u=jnp.asarray([g(k + "u") for k in xk], dtype=dtype),
+        u_l=jnp.asarray([g(k + "l") for k in uk], dtype=dtype),
+        u_u=jnp.asarray([g(k + "u") for k in uk], dtype=dtype),
+        ddq_l=jnp.asarray([g(k + "l") for k in ddk], dtype=dtype),
+        ddq_u=jnp.asarray([g(k + "u") for k in ddk], dtype=dtype),
     )
 
 
@@ -187,12 +207,14 @@ class NormalizationParams:
 
 
 def load_normalization_params(file: str, overrides: Mapping[str, float] | None = None,
-                              dtype=jnp.float64) -> NormalizationParams:
-    js = _load_json(file)
+                              dtype=jnp.float64,
+                              system: System = PANDA) -> NormalizationParams:
+    js = _merge_mobile(_load_json(file), file, system)
+    xk, uk, _ = _sys_keys(system)
     g = lambda k: float(_get(js, overrides, k))
     return NormalizationParams(
-        t_x=jnp.asarray([g(k) for k in _X_KEYS], dtype=dtype),
-        t_u=jnp.asarray([g(k) for k in _U_KEYS], dtype=dtype),
+        t_x=jnp.asarray([g(k) for k in xk], dtype=dtype),
+        t_u=jnp.asarray([g(k) for k in uk], dtype=dtype),
     )
 
 
@@ -296,12 +318,14 @@ class MPCCParams:
 
 def load_params(param_dir: str | None = None,
                 overrides: Mapping[str, Mapping[str, float]] | None = None,
-                dtype=None) -> tuple[MPCCParams, SQPConfig]:
+                dtype=None, system: System = PANDA) -> tuple[MPCCParams, SQPConfig]:
     """Load the full parameter set.
 
     ``overrides`` is the reference's ``ParamValue``: a dict of groups
     (``param``, ``cost``, ``bounds``, ``normalization``, ``sqp``), each a
-    ``{key: value}`` map merged over the JSON defaults.
+    ``{key: value}`` map merged over the JSON defaults.  For the mobile
+    system the bounds/normalization vectors gain the base-joint entries
+    (keys from ``mobile.json``).
     """
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
@@ -310,9 +334,11 @@ def load_params(param_dir: str | None = None,
     params = MPCCParams(
         model=load_model_params(param_path("model.json", param_dir), ov.get("param"), dtype),
         cost=load_cost_params(param_path("cost.json", param_dir), ov.get("cost"), dtype),
-        bounds=load_bounds_params(param_path("bounds.json", param_dir), ov.get("bounds"), dtype),
+        bounds=load_bounds_params(param_path("bounds.json", param_dir),
+                                  ov.get("bounds"), dtype, system),
         normalization=load_normalization_params(
-            param_path("normalization.json", param_dir), ov.get("normalization"), dtype),
+            param_path("normalization.json", param_dir), ov.get("normalization"),
+            dtype, system),
         sqp=sqp,
     )
     return params, cfg

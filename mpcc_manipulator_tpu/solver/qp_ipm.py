@@ -27,8 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..config import N, NU
-from ..ocp.qp_stages import NC_STAGE, NXT, NZT, StageQP
+from ..ocp.qp_stages import StageQP
 from ..utils.linalg_small import cho_solve_small, cholesky_small
 
 EPS_IPM = 1e-5       # complementarity target (OSQP-grade accuracy)
@@ -38,20 +37,20 @@ FRAC_TO_BOUNDARY = 0.995
 
 @struct.dataclass
 class IPMSolution:
-    dx_tilde: jnp.ndarray   # (N+1, NXT) augmented-state step
-    du: jnp.ndarray         # (N, NU) input step
-    lam: jnp.ndarray        # (N+1, NC_STAGE) inequality duals
+    dx_tilde: jnp.ndarray   # (N+1, nxt) augmented-state step
+    du: jnp.ndarray         # (N, nu) input step
+    lam: jnp.ndarray        # (N+1, nc_stage) inequality duals
     iters: jnp.ndarray
     solved: jnp.ndarray
     mu: jnp.ndarray
 
 
-def _stage_split(h, g):
-    """(NZT,NZT)/(NZT,) stage blocks -> (Q, S, R, qx, ru) partitions."""
-    q = h[:NXT, :NXT]
-    s = h[NXT:, :NXT]
-    r = h[NXT:, NXT:]
-    return q, s, r, g[:NXT], g[NXT:]
+def _stage_split(h, g, nxt):
+    """(nzt,nzt)/(nzt,) stage blocks -> (Q, S, R, qx, ru) partitions."""
+    q = h[:nxt, :nxt]
+    s = h[nxt:, :nxt]
+    r = h[nxt:, nxt:]
+    return q, s, r, g[:nxt], g[nxt:]
 
 
 def _riccati_solve(qp: StageQP, hbar, gbar, hbar_term, gbar_term):
@@ -60,14 +59,15 @@ def _riccati_solve(qp: StageQP, hbar, gbar, hbar_term, gbar_term):
         min sum_k 1/2 z_k' Hbar_k z_k + gbar_k' z_k  (+ terminal)
         s.t. dx_{k+1} = At dx_k + Bt du_k + e_k,  dx_0 = 0.
 
-    Returns (dx (N+1, NXT), du (N, NU)).
+    Returns (dx (N+1, nxt), du (N, nu)).
     """
     at, bt = qp.at, qp.bt
+    nxt, nu = bt.shape
 
     def backward(carry, blocks):
         p_mat, p_vec = carry
         h_k, g_k, e_k = blocks
-        q, s, r, qx, ru = _stage_split(h_k, g_k)
+        q, s, r, qx, ru = _stage_split(h_k, g_k, nxt)
         pa = p_mat @ at
         pb = p_mat @ bt
         m_vec = p_vec + p_mat @ e_k
@@ -81,10 +81,10 @@ def _riccati_solve(qp: StageQP, hbar, gbar, hbar_term, gbar_term):
         # LAPACK-style custom calls are latency-bound at this size and
         # dominate the whole batched solve).  NaN-on-non-PD is preserved.
         chol = cholesky_small(
-            r_bar + 1e-9 * jnp.eye(NU, dtype=r_bar.dtype), NU)
+            r_bar + 1e-9 * jnp.eye(nu, dtype=r_bar.dtype), nu)
         sol_kk = -cho_solve_small(
-            chol, jnp.concatenate([s_bar, ru_bar[:, None]], axis=-1), NU)
-        k_gain, k_ff = sol_kk[:, :NXT], sol_kk[:, NXT]
+            chol, jnp.concatenate([s_bar, ru_bar[:, None]], axis=-1), nu)
+        k_gain, k_ff = sol_kk[:, :nxt], sol_kk[:, nxt]
         p_new = q_bar + s_bar.T @ k_gain
         p_vec_new = qx_bar + s_bar.T @ k_ff
         # symmetrize for numerical hygiene
@@ -101,7 +101,7 @@ def _riccati_solve(qp: StageQP, hbar, gbar, hbar_term, gbar_term):
         dx_next = qp.at @ dx + qp.bt @ du_k + e_k
         return dx_next, (dx, du_k)
 
-    dx0 = jnp.zeros(NXT, dtype=qp.e.dtype)
+    dx0 = jnp.zeros(nxt, dtype=qp.e.dtype)
     dx_last, (dxs, dus) = jax.lax.scan(forward, dx0, (k_gains, k_ffs, qp.e),
                                        unroll=True)
     dx_all = jnp.concatenate([dxs, dx_last[None]], axis=0)
@@ -110,8 +110,16 @@ def _riccati_solve(qp: StageQP, hbar, gbar, hbar_term, gbar_term):
 
 @partial(jax.jit, static_argnames=("max_iter",))
 def solve_qp_ipm(qp: StageQP, max_iter: int = 25) -> IPMSolution:
-    """Solve the stage-structured QP.  Returns steps in normalized units."""
+    """Solve the stage-structured QP.  Returns steps in normalized units.
+
+    Fully shape-generic: all dims (stage count, augmented-state/input sizes,
+    rows per stage) are derived from the ``StageQP`` arrays, so the same
+    code compiles for any :class:`~..system.System`.
+    """
     dtype = qp.e.dtype
+    n_stages, nxt = qp.e.shape        # N, augmented-state dim
+    nu = qp.bt.shape[1]
+    nc_stage = qp.mask.shape[1]
     m_act = jnp.sum(qp.mask)
 
     # masked row view: inactive rows become 0 . z <= 1
@@ -120,18 +128,18 @@ def solve_qp_ipm(qp: StageQP, max_iter: int = 25) -> IPMSolution:
 
     # stage variable packing helpers: z_k = (dx_k, du_k); z_N = (dx_N, 0)
     def row_dot(dx_all, du_all):
-        """C z for every stage row -> (N+1, NC_STAGE)."""
-        du_pad = jnp.concatenate([du_all, jnp.zeros((1, NU), dtype=dtype)])
+        """C z for every stage row -> (N+1, nc_stage)."""
+        du_pad = jnp.concatenate([du_all, jnp.zeros((1, nu), dtype=dtype)])
         z_all = jnp.concatenate([dx_all, du_pad], axis=1)      # (N+1, NZT)
         return jnp.einsum("krz,kz->kr", c_eff, z_all)
 
     def state(dx, du, s, lam, mu):
         return dx, du, s, lam, mu
 
-    dx0 = jnp.zeros((N + 1, NXT), dtype=dtype)
-    du0 = jnp.zeros((N, NU), dtype=dtype)
-    s0 = jnp.ones((N + 1, NC_STAGE), dtype=dtype)
-    lam0 = jnp.ones((N + 1, NC_STAGE), dtype=dtype)
+    dx0 = jnp.zeros((n_stages + 1, nxt), dtype=dtype)
+    du0 = jnp.zeros((n_stages, nu), dtype=dtype)
+    s0 = jnp.ones((n_stages + 1, nc_stage), dtype=dtype)
+    lam0 = jnp.ones((n_stages + 1, nc_stage), dtype=dtype)
     mu0 = jnp.asarray(1.0, dtype=dtype)
 
     def body(carry):
@@ -158,10 +166,10 @@ def solve_qp_ipm(qp: StageQP, max_iter: int = 25) -> IPMSolution:
         h_mod = jnp.einsum("krz,krv->kzv", cw, c_eff)  # (N+1, NZT, NZT)
         g_mod = jnp.einsum("krz,kr->kz", c_eff, g_rows)
 
-        hbar = qp.h + h_mod[:N]
-        gbar = qp.g + g_mod[:N]
-        hbar_term = qp.h_term + h_mod[N, :NXT, :NXT]
-        gbar_term = qp.g_term + g_mod[N, :NXT]
+        hbar = qp.h + h_mod[:n_stages]
+        gbar = qp.g + g_mod[:n_stages]
+        hbar_term = qp.h_term + h_mod[n_stages, :nxt, :nxt]
+        gbar_term = qp.g_term + g_mod[n_stages, :nxt]
 
         dx_t, du_t = _riccati_solve(qp, hbar, gbar, hbar_term, gbar_term)
         cz_t = row_dot(dx_t, du_t)

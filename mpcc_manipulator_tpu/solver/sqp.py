@@ -32,11 +32,12 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..config import N, N_CONSTR, N_VAR, NU, NX
+from ..config import N
 from ..ocp import qp_data
 from ..ocp.robot_data import RobotData
 from ..params import MPCCParams, SQPConfig
 from ..splines.arc_length import TrackSpline
+from ..system import PANDA, System
 from . import qp_admm
 
 
@@ -86,13 +87,20 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
               cfg: SQPConfig, z0: jnp.ndarray, current_u: jnp.ndarray, ts: float,
               exact_heading_jac: bool = False,
               qp_x0: jnp.ndarray | None = None,
-              qp_y0: jnp.ndarray | None = None) -> SQPResult:
+              qp_y0: jnp.ndarray | None = None,
+              system: System = PANDA) -> SQPResult:
     """Run the full SQP loop from warm-start iterate ``z0``.
 
     ``qp_x0``/``qp_y0`` optionally seed the first QP's ADMM warm start
     (cross-tick warm starting); zeros reproduce the cold-start reference
     behavior."""
+    if system.name != "panda" and cfg.qp_solver != "riccati":
+        raise ValueError(
+            "the dense ADMM backend is Panda-only (OSQP-conformance path); "
+            "use qp_solver='riccati' for other systems")
     dtype = z0.dtype
+    n_var, n_constr = system.n_var, system.n_constr
+    nx, nu = system.nx, system.nu
     max_filter = cfg.max_iter + 1
     sqp = params.sqp
     alpha_fail = sqp.line_search_tau ** cfg.line_search_max_iter
@@ -115,18 +123,18 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         from . import qp_ipm
 
         qp_st = qps.build_qp_stages(track, z, rb, params, current_u, ts,
-                                    exact_heading_jac)
+                                    exact_heading_jac, system=system)
         has_nan = jnp.any(jnp.isnan(qp_st.h)) | jnp.any(jnp.isnan(qp_st.g)) \
             | jnp.any(jnp.isnan(qp_st.c_rows)) | jnp.any(jnp.isnan(qp_st.d_vec))
 
         sol = qp_ipm.solve_qp_ipm(qp_st, max_iter=cfg.ipm_max_iter)
-        step = qps.stage_step_to_dense(sol.dx_tilde, sol.du)
+        step = qps.stage_step_to_dense(sol.dx_tilde, sol.du, system)
         step_nan = jnp.any(jnp.isnan(step))
         guard_fail = jnp.logical_or(has_nan, step_nan)
         step = jnp.where(guard_fail, 0.0, step)
 
         # --- filter line search (same semantics as the dense path)
-        z_try = z + qp_data.denormalize_step(step, params)
+        z_try = z + qp_data.denormalize_step(step, params, system)
         obj_try, vio_try = eval_point(z_try)
         dominated = jnp.any(jnp.logical_and(obj_try >= f_obj, vio_try >= f_vio))
         accepted = ~dominated
@@ -138,7 +146,7 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         f_vio = jnp.where(accepted, f_vio_new, f_vio)
         f_cnt = jnp.where(accepted, f_cnt + 1, f_cnt)
 
-        z_new = z + alpha * qp_data.denormalize_step(step, params)
+        z_new = z + alpha * qp_data.denormalize_step(step, params, system)
         prim_norm_new = alpha * jnp.max(jnp.abs(step))
         converged = prim_norm_new < sqp.eps_prim
 
@@ -152,8 +160,10 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
                 qp_it + sol.iters, done_new, qp_x, qp_y)
 
     def eval_point(z):
-        obj = qp_data.total_objective(track, z, rb, params, exact_heading_jac)
-        constr, l, u = qp_data.constraint_values(track, z, rb, params, current_u, ts)
+        obj = qp_data.total_objective(track, z, rb, params, exact_heading_jac,
+                                      system=system)
+        constr, l, u = qp_data.constraint_values(track, z, rb, params,
+                                                 current_u, ts, system=system)
         return obj, constraint_norm(constr, l, u)
 
     def cond(carry):
@@ -187,8 +197,8 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         # Cholesky fails on pure roundoff; the guard check (only) gets a
         # dtype-relative jitter.  In float64 (conformance mode) the jitter is
         # ~1e-12 relative and the check matches the reference LLT exactly.
-        jitter = (N_VAR * jnp.finfo(dtype).eps) * jnp.max(jnp.abs(jnp.diag(hess)))
-        chol = jnp.linalg.cholesky(hess + jitter * jnp.eye(N_VAR, dtype=dtype))
+        jitter = (n_var * jnp.finfo(dtype).eps) * jnp.max(jnp.abs(jnp.diag(hess)))
+        chol = jnp.linalg.cholesky(hess + jitter * jnp.eye(n_var, dtype=dtype))
         non_pd = jnp.any(jnp.isnan(chol))
         has_nan = jnp.any(jnp.isnan(hess))
         guard_status = jnp.where(has_nan, Status.NAN_HESSIAN, Status.NON_PD_HESSIAN)
@@ -280,30 +290,33 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
                 it + 1, status_new, prim_norm_new, qp_it + qp_sol.iters, done_new,
                 qp_sol.x, qp_sol.y)
 
+    # the dense Hessian/BFGS carry is only consumed by the ADMM path; the
+    # Riccati path carries 1x1 placeholders so its loop state stays small
+    hess_dim = 1 if cfg.qp_solver == "riccati" else n_var
     init = (
         z0,
-        jnp.zeros(N_CONSTR, dtype=dtype),
+        jnp.zeros(n_constr, dtype=dtype),
         jnp.full(max_filter, jnp.inf, dtype=dtype),
         jnp.full(max_filter, jnp.inf, dtype=dtype),
         jnp.asarray(0),
-        jnp.zeros((N_VAR, N_VAR), dtype=dtype),
-        jnp.zeros(N_VAR, dtype=dtype),
-        jnp.zeros(N_VAR, dtype=dtype),
+        jnp.zeros((hess_dim, hess_dim), dtype=dtype),
+        jnp.zeros(hess_dim, dtype=dtype),
+        jnp.zeros(n_var, dtype=dtype),
         jnp.asarray(0),
         jnp.asarray(Status.MAX_ITER_EXCEEDED),
         jnp.asarray(jnp.inf, dtype=dtype),
         jnp.asarray(0),
         jnp.asarray(False),
-        qp_x0 if qp_x0 is not None else jnp.zeros(N_VAR, dtype=dtype),
-        qp_y0 if qp_y0 is not None else jnp.zeros(N_CONSTR, dtype=dtype),
+        qp_x0 if qp_x0 is not None else jnp.zeros(n_var, dtype=dtype),
+        qp_y0 if qp_y0 is not None else jnp.zeros(n_constr, dtype=dtype),
     )
     (z, lam, _, _, _, _, _, _, it, status, prim_norm, qp_it, done, qp_x, qp_y) = \
         jax.lax.while_loop(cond, body, init)
 
     success = status == Status.SOLVED
     # zero-velocity fallback guess (`osqp_interface.cpp:422-428, 587`)
-    xs0 = jnp.tile(z0[:NX], N + 1)
-    zero_guess = jnp.concatenate([xs0, jnp.zeros(NU * N, dtype=dtype)])
+    xs0 = jnp.tile(z0[:nx], N + 1)
+    zero_guess = jnp.concatenate([xs0, jnp.zeros(nu * N, dtype=dtype)])
     z_final = jnp.where(success, z, zero_guess)
 
     return SQPResult(z=z_final, lam=lam, status=status, sqp_iters=it,
