@@ -77,11 +77,14 @@ def error_info(track: TrackSpline, x: jnp.ndarray, rb: RobotData,
     d_tangent = jnp.zeros((3, system.nx), dtype=x.dtype)
     d_tangent = d_tangent.at[:, system.s_idx].set(normal)
 
-    # replicates the reference formula verbatim, including its use of
-    # ||lag_err|| * I (cost.cpp:110)
+    # NOTE deliberate deviation from the reference: `cost.cpp:110` scales the
+    # identity term by ||lag_err|| = |t.e|, which flips the sign of the
+    # d_tangent contribution whenever the EE is *behind* the reference point
+    # (t.e < 0) and breaks the first-order model there.  The signed t.e is
+    # the exact derivative of lag_err = (t.e) t (verified against jax.grad).
     d_lag = (jnp.outer(tangent, tangent) @ d_total
              + (jnp.outer(tangent, total_err)
-                + jnp.linalg.norm(lag_err) * jnp.eye(3, dtype=x.dtype)) @ d_tangent)
+                + jnp.dot(tangent, total_err) * jnp.eye(3, dtype=x.dtype)) @ d_tangent)
     d_cont = d_total - d_lag
     return cont_err, lag_err, d_cont, d_lag, tangent, normal
 
