@@ -1,0 +1,187 @@
+"""Phase breakdown of the batched MPCC tick on the real chip.
+
+Uses the same slope-timing methodology as bench.py (chained fori_loop,
+scalar readback, per-unit time from the K2-K1 slope) on each phase of the
+tick separately:
+
+  * robot_data  — FK + manipulability + both collision-NN linearizations
+  * assemble    — stage-structured QP assembly (cost/constraint derivatives)
+  * ipm         — one full interior-point QP solve (Riccati sweeps)
+  * eval        — objective + constraint values (filter line-search trial)
+  * tick        — the whole mpc_step (for reference)
+
+This is diagnostic tooling, not part of the library API.
+Run: python benchmarks/profile_phases.py [batch]
+"""
+
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+
+def _slope_time(call, k1: int, k2: int, reps: int = 3):
+    call(k1)
+    per = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        call(k1)
+        t1 = time.perf_counter()
+        call(k2)
+        t2 = time.perf_counter()
+        per.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+    return float(np.median(per))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_problem, X0_HOME
+    from mpcc_manipulator_tpu.params import SQPConfig
+    from mpcc_manipulator_tpu.mpc import mpc_step
+    from mpcc_manipulator_tpu.ocp import qp_stages as qps
+    from mpcc_manipulator_tpu.ocp import qp_data
+    from mpcc_manipulator_tpu.ocp.robot_data import compute_robot_data
+    from mpcc_manipulator_tpu.solver import qp_ipm
+    from mpcc_manipulator_tpu.models.dynamics import sim_time_step
+
+    dtype = jnp.float32
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    track, params, _, sel_nn, env_nn, carry, x0, u0, obs = _build_problem(
+        dtype, small=False)
+    cfg = SQPConfig(max_iter=20, qp_solver="riccati", ipm_max_iter=25,
+                    qp_max_iter=200, qp_check_every=25, mani_grad="ad")
+    ts = 0.01
+
+    rng = np.random.default_rng(0)
+    q_b = jnp.asarray(X0_HOME[None, :7]
+                      + 0.01 * rng.standard_normal((batch, 7)), dtype=dtype)
+    obs_b = jnp.tile(obs[None, :], (batch, 1))
+    rad_b = jnp.zeros(batch, dtype=dtype)
+
+    n_var = 179
+    z_b = jnp.asarray(
+        np.tile(np.concatenate([np.tile(X0_HOME, 11), np.zeros(80)])[None],
+                (batch, 1))
+        + 0.001 * rng.standard_normal((batch, n_var)), dtype=dtype)
+    u_b = jnp.zeros((batch, 8), dtype=dtype)
+
+    # ---- phase: robot_data (chained; re-feed a scalar to defeat CSE)
+    @jax.jit
+    def chain_rb(qs, o, r, k):
+        def body(i, qcur):
+            rb = jax.vmap(lambda q, oo, rr: compute_robot_data(
+                jnp.tile(q[None], (11, 1)), oo, rr, sel_nn, env_nn,
+                mani_grad="ad"))(qcur, o, r)
+            return qcur + 1e-20 * rb.sel_dist[:, :1][:, 0:7:7] \
+                if False else qcur + 1e-20 * rb.sel_dist[:, 0][:, None]
+        return jax.lax.fori_loop(0, k, body, qs)
+
+    def run_rb(k):
+        out = chain_rb(q_b, obs_b, rad_b, jnp.asarray(k))
+        return float(jnp.sum(out))
+
+    # ---- phase: assembly (robot data fixed)
+    rb_b = jax.jit(jax.vmap(lambda q, oo, rr: compute_robot_data(
+        jnp.tile(q[None], (11, 1)), oo, rr, sel_nn, env_nn, mani_grad="ad"))
+    )(q_b, obs_b, rad_b)
+
+    @jax.jit
+    def chain_asm(zs, k):
+        def body(i, zcur):
+            st = jax.vmap(lambda z, rb: qps.build_qp_stages(
+                track, z, rb, params, jnp.zeros(8, dtype=dtype), ts, False)
+            )(zcur, rb_b)
+            return zcur + 1e-20 * st.g[:, 0, 0][:, None]
+        return jax.lax.fori_loop(0, k, body, zs)
+
+    def run_asm(k):
+        out = chain_asm(z_b, jnp.asarray(k))
+        return float(jnp.sum(out))
+
+    # ---- phase: IPM solve (QP fixed)
+    st_b = jax.jit(jax.vmap(lambda z, rb: qps.build_qp_stages(
+        track, z, rb, params, jnp.zeros(8, dtype=dtype), ts, False))
+    )(z_b, rb_b)
+
+    @jax.jit
+    def chain_ipm(seed, k):
+        def body(i, s):
+            st2 = st_b.replace(g=st_b.g + 1e-20 * s[:, None, None])
+            sol = jax.vmap(partial(qp_ipm.solve_qp_ipm, max_iter=25))(st2)
+            return s + 1e-20 * sol.du[:, 0, 0]
+        return jax.lax.fori_loop(0, k, body, seed)
+
+    def run_ipm(k):
+        out = chain_ipm(jnp.zeros(batch, dtype=dtype), jnp.asarray(k))
+        return float(jnp.sum(out))
+
+    # ---- phase: eval (objective + constraints; one line-search trial)
+    @jax.jit
+    def chain_eval(zs, k):
+        def body(i, zcur):
+            def one(z, rb):
+                obj = qp_data.total_objective(track, z, rb, params, False)
+                c, l, u = qp_data.constraint_values(
+                    track, z, rb, params, jnp.zeros(8, dtype=dtype), ts)
+                return obj + jnp.sum(jnp.maximum(c - u, 0.0))
+            v = jax.vmap(one)(zcur, rb_b)
+            return zcur + 1e-20 * v[:, None]
+        return jax.lax.fori_loop(0, k, body, zs)
+
+    def run_eval(k):
+        out = chain_eval(z_b, jnp.asarray(k))
+        return float(jnp.sum(out))
+
+    # ---- whole tick
+    from mpcc_manipulator_tpu.parallel import sharding as shd
+    carry_b = shd.batch_init_carry(batch, dtype)
+    x0_b = jnp.asarray(X0_HOME[None, :]
+                       + 0.01 * rng.standard_normal((batch, 9)), dtype=dtype)
+    batched_step = jax.vmap(
+        lambda c, x, u, o, r: mpc_step(track, params, sel_nn, env_nn,
+                                       c, x, u, o, r, ts=ts, cfg=cfg))
+
+    @jax.jit
+    def chain_tick(cb, xb, ub, ob, rb, k):
+        def body(i, stt):
+            cb, xb, ub = stt
+            c2, out = batched_step(cb, xb, ub, ob, rb)
+            x2 = jax.vmap(lambda x, u: sim_time_step(x, u, ts))(
+                out.x0_updated, out.u0)
+            return (c2, x2, out.u0)
+        return jax.lax.fori_loop(0, k, body, (cb, xb, ub))
+
+    def run_tick(k):
+        c, x, u = chain_tick(carry_b, x0_b, u_b, obs_b, rad_b, jnp.asarray(k))
+        return float(jnp.sum(u))
+
+    # how many SQP iters does the batch actually do per tick (max over lanes)?
+    c2, out = jax.jit(batched_step)(carry_b, x0_b, u_b, obs_b, rad_b)
+    sqp_iters = np.asarray(out.sqp_iters)
+    qp_iters = np.asarray(out.qp_iters)
+
+    results = {}
+    for name, fn, k1, k2 in [("robot_data", run_rb, 5, 45),
+                             ("assemble", run_asm, 5, 45),
+                             ("ipm_solve", run_ipm, 3, 13),
+                             ("eval_point", run_eval, 5, 45),
+                             ("full_tick", run_tick, 3, 13)]:
+        t = _slope_time(fn, k1, k2)
+        results[name] = t * 1e3
+        print(f"{name:12s}: {t*1e3:9.3f} ms/iter  "
+              f"({t*1e6/batch:8.2f} us/scenario)", flush=True)
+
+    print(f"sqp_iters: max={sqp_iters.max()} mean={sqp_iters.mean():.1f}; "
+          f"qp_iters(total newton): max={qp_iters.max()} mean={qp_iters.mean():.1f}")
+    tick = results["full_tick"]
+    model = (results["robot_data"]
+             + sqp_iters.max() * (results["assemble"] + results["ipm_solve"]
+                                  + results["eval_point"]))
+    print(f"tick={tick:.1f} ms; phase model at max sqp iters = {model:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -15,7 +15,12 @@ Functional re-expression of the reference ``Cost`` class
 Derivatives are written out explicitly (not via AD) to reproduce the
 reference's *model*, including its deliberate omissions: the frozen RobotData
 linearization point, the non-differentiated desired-velocity taper, and the
-heading Jacobian variant (see ``so3.right_jacobian_inverse_ref``).  Each
+heading Jacobian variant (see ``so3.right_jacobian_inverse_ref``).  One
+deliberate *deviation* from the reference: the lag-error derivative uses the
+signed tangential error ``t·e`` where `cost.cpp:110` uses the unsigned norm
+``||e_lag||`` — the reference formula's sign is wrong when the EE is behind
+the reference point (verified against autodiff/finite differences, exact to
+~1e-15; the reference errs by O(1) in that regime).  Each
 function is scalar-per-knot and is vmapped over the horizon by the QP
 assembly; under vmap the whole horizon becomes one batched computation.
 

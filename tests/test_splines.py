@@ -135,3 +135,27 @@ def test_reference_track_loads_and_fits():
     assert float(tr.length) > 0.5
     p0 = np.asarray(als.track_position(tr, jnp.asarray(0.0)))
     assert np.allclose(p0, [0.55, 0.0, 0.52], atol=1e-6)
+
+
+def test_letter_track_generator():
+    """Letter tracing (reference `track_from_letter.py` capability): glyph
+    outlines -> continuous Y-Z-plane waypoints -> fit as a 6-D track."""
+    from mpcc_manipulator_tpu.runtime.track_gen import letter_track
+
+    t = letter_track("TPU", height=0.25, n_points=200)
+    x = np.asarray(t["X"])
+    y = np.asarray(t["Y"])
+    z = np.asarray(t["Z"])
+    assert np.all(x == 0.0)                      # Y-Z plane like the reference
+    # letter height honored (resampling can clip extrema by a waypoint)
+    assert abs(np.ptp(z) - 0.25) < 5e-3
+    seg = np.hypot(np.diff(y), np.diff(z))
+    assert seg.min() > 1e-9                      # no duplicate waypoints
+    assert np.all(np.asarray(t["quat_X"]) == 1.0)  # constant flipped pose
+    rots = np.stack([np.diag([1.0, -1.0, -1.0])] * len(x))
+    tr = als.gen_6d_spline(x, y, z, rots)
+    assert float(tr.length) > 1.0
+    # spline stays near the waypoint cloud
+    p = np.asarray(als.track_position(tr, tr.length * 0.25))
+    d = np.min(np.hypot(y - p[1], z - p[2]))
+    assert d < 0.02
