@@ -1,17 +1,16 @@
-"""Micro-breakdown of one IPM Newton step at batch scale (slope timing).
+"""Micro-breakdown of the IPM Newton step at batch scale (slope timing).
 
 Pieces:
-  * cwc      — the C' diag(w) C stage-Hessian modification (einsum pair)
-  * riccati  — matrix backward sweep + forward rollout
-  * rowdot   — C z row products + slack/dual closed forms
-  * newton   — one full fused Newton body (all of the above)
+  * cwc     — the C' diag(w) C stage-Hessian modification einsum
+  * factor  — matrix backward Riccati sweep (gains + cost-to-go)
+  * ff      — vector backward sweep + forward rollout
+  * rowdot  — C z row products
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/profile_ipm.py [batch]
 """
 
 import sys
 import time
-from functools import partial
 
 import numpy as np
 
@@ -78,75 +77,64 @@ def main():
     def chain_cwc(w, k):
         def body(i, wcur):
             h_mod, g_mod = jax.vmap(one_cwc)(st_b, wcur)
-            return wcur + 1e-20 * h_mod[:, 0, 0, 0][:, None, None] \
-                + 1e-20 * g_mod[:, 0, 0][:, None, None]
+            return wcur * 1.0 + 1e-20 * (h_mod.sum(axis=(1, 2, 3))
+                                         + g_mod.sum(axis=(1, 2)))[:, None, None]
         return jax.lax.fori_loop(0, k, body, w)
-
-    def run_cwc(k):
-        return float(jnp.sum(chain_cwc(w_b, jnp.asarray(k))))
-
-    def one_riccati(qp, h_mod, g_mod):
-        hbar = qp.h + h_mod[:N]
-        gbar = qp.g + g_mod[:N]
-        hbar_term = qp.h_term + h_mod[N, :nxt, :nxt]
-        gbar_term = qp.g_term + g_mod[N, :nxt]
-        return qp_ipm._riccati_solve(qp, hbar, gbar, hbar_term, gbar_term)
 
     h_mod_b, g_mod_b = jax.jit(jax.vmap(one_cwc))(st_b, w_b)
 
+    def one_factor(qp, h_mod):
+        hbar = qp.h + h_mod[:N]
+        hbar_term = qp.h_term + h_mod[N, :nxt, :nxt]
+        return qp_ipm._riccati_factor(qp, hbar, hbar_term)
+
     @jax.jit
-    def chain_ric(g, k):
+    def chain_factor(h, k):
+        def body(i, hcur):
+            fact = jax.vmap(one_factor)(st_b, hcur)
+            k_gains = fact[3]
+            return hcur + 1e-20 * k_gains.sum(axis=(1, 2, 3))[:, None, None, None]
+        return jax.lax.fori_loop(0, k, body, h)
+
+    fact_b = jax.jit(jax.vmap(one_factor))(st_b, h_mod_b)
+
+    def one_ff(qp, fact, g_mod):
+        gbar = qp.g + g_mod[:N]
+        gbar_term = qp.g_term + g_mod[N, :nxt]
+        return qp_ipm._riccati_ff(qp, fact, gbar, gbar_term)
+
+    @jax.jit
+    def chain_ff(g, k):
         def body(i, gcur):
-            dx, du = jax.vmap(one_riccati)(st_b, h_mod_b, gcur)
-            return gcur + 1e-20 * du[:, 0, 0][:, None, None]
+            dx, du = jax.vmap(one_ff)(st_b, fact_b, gcur)
+            return gcur + 1e-20 * (dx.sum(axis=(1, 2))
+                                   + du.sum(axis=(1, 2)))[:, None, None]
         return jax.lax.fori_loop(0, k, body, g)
 
-    def run_ric(k):
-        return float(jnp.sum(chain_ric(g_mod_b, jnp.asarray(k))))
+    dx_b, du_b = jax.jit(jax.vmap(one_ff))(st_b, fact_b, g_mod_b)
 
-    # row products + closed-form slack/dual targets
-    def one_rows(qp, dx_all, du_all, w, s):
+    def one_rows(qp, dx_all, du_all):
         c_eff = qp.c_rows * qp.mask[..., None]
-        d_eff = qp.d_vec * qp.mask + (1.0 - qp.mask)
         du_pad = jnp.concatenate([du_all, jnp.zeros((1, nu), dtype=dtype)])
         z_all = jnp.concatenate([dx_all, du_pad], axis=1)
-        cz = jnp.einsum("krz,kz->kr", c_eff, z_all)
-        s_t = d_eff - cz
-        lam_t = 1.0 / jnp.maximum(s, 1e-10) + w * (cz + s - d_eff)
-        return s_t, lam_t
-
-    dx_b, du_b = jax.jit(jax.vmap(one_riccati))(st_b, h_mod_b, g_mod_b)
-    s_b = jnp.ones((batch, N + 1, nc), dtype=dtype)
+        return jnp.einsum("krz,kz->kr", c_eff, z_all)
 
     @jax.jit
-    def chain_rows(s, k):
-        def body(i, scur):
-            s_t, lam_t = jax.vmap(one_rows)(st_b, dx_b, du_b, w_b, scur)
-            return scur + 1e-20 * s_t
-        return jax.lax.fori_loop(0, k, body, s)
+    def chain_rows(d, k):
+        def body(i, dcur):
+            cz = jax.vmap(one_rows)(st_b, dcur, du_b)
+            return dcur + 1e-20 * cz.sum(axis=(1, 2))[:, None, None]
+        return jax.lax.fori_loop(0, k, body, d)
 
-    def run_rows(k):
-        return float(jnp.sum(chain_rows(s_b, jnp.asarray(k))))
-
-    # one full newton body: run solve_qp_ipm with max_iter=1
-    @jax.jit
-    def chain_newton(seed, k):
-        def body(i, s):
-            st2 = st_b.replace(g=st_b.g + 1e-20 * s[:, None, None])
-            sol = jax.vmap(partial(qp_ipm.solve_qp_ipm, max_iter=1))(st2)
-            return s + 1e-20 * sol.du[:, 0, 0]
-        return jax.lax.fori_loop(0, k, body, seed)
-
-    def run_newton(k):
-        return float(jnp.sum(chain_newton(
-            jnp.zeros(batch, dtype=dtype), jnp.asarray(k))))
-
-    for name, fn, k1, k2 in [("cwc", run_cwc, 10, 110),
-                             ("riccati", run_ric, 10, 110),
-                             ("rowdot", run_rows, 10, 110),
-                             ("newton_x1", run_newton, 10, 60)]:
-        t = _slope_time(fn, k1, k2)
-        print(f"{name:10s}: {t*1e3:9.3f} ms/iter ({t*1e6/batch:8.2f} us/scenario)",
+    for name, mk, arg, k1, k2 in [
+            ("cwc", chain_cwc, w_b, 10, 110),
+            ("factor", chain_factor, h_mod_b, 10, 110),
+            ("ff", chain_ff, g_mod_b, 10, 110),
+            ("rowdot", chain_rows, dx_b, 10, 110)]:
+        def run(k, mk=mk, arg=arg):
+            return float(jnp.sum(mk(arg, jnp.asarray(k))))
+        t = _slope_time(run, k1, k2)
+        print(f"{name:8s}: {t*1e3:9.3f} ms/iter ({t*1e6/batch:8.2f} us/scenario)",
               flush=True)
 
 

@@ -269,6 +269,10 @@ class SQPConfig:
     # line search and no BFGS).
     qp_solver: str = "admm"
     ipm_max_iter: int = 25
+    # IPM centering scheme: "adaptive" (one Riccati solve/iteration, sigma
+    # from achieved step length) or "mehrotra" (predictor-corrector; the
+    # corrector reuses the iteration's Riccati factorization).
+    ipm_scheme: str = "adaptive"
     # Manipulability gradient: "fd" (central difference, delta=1e-4 —
     # reference-exact, 15 FK sweeps) or "ad" (exact autodiff, ~3x cheaper;
     # differs from fd by O(delta^2) ~ 1e-8).

@@ -127,7 +127,8 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         has_nan = jnp.any(jnp.isnan(qp_st.h)) | jnp.any(jnp.isnan(qp_st.g)) \
             | jnp.any(jnp.isnan(qp_st.c_rows)) | jnp.any(jnp.isnan(qp_st.d_vec))
 
-        sol = qp_ipm.solve_qp_ipm(qp_st, max_iter=cfg.ipm_max_iter)
+        sol = qp_ipm.solve_qp_ipm(qp_st, max_iter=cfg.ipm_max_iter,
+                                  scheme=cfg.ipm_scheme)
         step = qps.stage_step_to_dense(sol.dx_tilde, sol.du, system)
         step_nan = jnp.any(jnp.isnan(step))
         guard_fail = jnp.logical_or(has_nan, step_nan)
