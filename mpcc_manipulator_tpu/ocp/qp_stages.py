@@ -83,15 +83,16 @@ def _row_masks(system: System, dtype):
     return jnp.asarray(m, dtype=dtype)
 
 
-def build_qp_stages(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
-                    params: MPCCParams, current_u: jnp.ndarray, ts,
-                    exact_heading_jac: bool = False,
-                    system: System = PANDA) -> StageQP:
+def _cost_blocks(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
+                 params: MPCCParams, current_u: jnp.ndarray, ts,
+                 exact_heading_jac: bool, system: System):
+    """Shared normalized cost/dynamics assembly for both stage layouts.
+
+    Returns ``(h, g, h_term, g_term, e, xs, us, up, ddq_pair)``.
+    """
     dtype = z.dtype
     nx, nu, dof = system.nx, system.nu, system.dof
     nxt, nzt = system.nxt, system.nzt
-    nc_stage = system.nc_stage
-    s_idx = system.s_idx
     tx = params.normalization.t_x
     tu = params.normalization.t_u
     tx_inv = params.normalization.t_x_inv
@@ -150,6 +151,31 @@ def build_qp_stages(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     h_term = jnp.zeros((nxt, nxt), dtype=dtype).at[:nx, :nx].set(h_xx[N])
     g_term = jnp.zeros(nxt, dtype=dtype).at[:nx].set(g_x[N])
 
+    # defect: e_k = -T_x_inv (x_{k+1} - (Ad x_k + Bd u_k)) on the x rows
+    ad, bd = _discrete_ab(ts, dtype, system)
+    pred = xs[:-1] @ ad.T + us @ bd.T
+    defect = (xs[1:] - pred) * tx_inv[None, :]
+    e = jnp.zeros((N, nxt), dtype=dtype).at[:, :nx].set(-defect)
+    return h, g, h_term, g_term, e, xs, us, up, ddq_pair
+
+
+def build_qp_stages(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
+                    params: MPCCParams, current_u: jnp.ndarray, ts,
+                    exact_heading_jac: bool = False,
+                    system: System = PANDA) -> StageQP:
+    dtype = z.dtype
+    nx, nu, dof = system.nx, system.nu, system.dof
+    nxt, nzt = system.nxt, system.nzt
+    nc_stage = system.nc_stage
+    s_idx = system.s_idx
+    tx = params.normalization.t_x
+    tu = params.normalization.t_u
+    tx_inv = params.normalization.t_x_inv
+    tudq = tu[:dof]
+
+    h, g, h_term, g_term, e, xs, us, up, ddq_pair = _cost_blocks(
+        track, z, rb, params, current_u, ts, exact_heading_jac, system)
+
     # ---- dynamics in augmented normalized coordinates
     ad, bd = _discrete_ab(ts, dtype, system)
     ad_n = tx_inv[:, None] * ad * tx[None, :]
@@ -157,10 +183,6 @@ def build_qp_stages(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     at = jnp.zeros((nxt, nxt), dtype=dtype).at[:nx, :nx].set(ad_n)
     bt = jnp.zeros((nxt, nu), dtype=dtype).at[:nx, :].set(bd_n)
     bt = bt.at[nx:, :].set(jnp.eye(nu, dtype=dtype))
-    # defect: e_k = -T_x_inv (x_{k+1} - (Ad x_k + Bd u_k)) on the x rows
-    pred = xs[:-1] @ ad.T + us @ bd.T
-    defect = (xs[1:] - pred) * tx_inv[None, :]
-    e = jnp.zeros((N, nxt), dtype=dtype).at[:, :nx].set(-defect)
 
     # ---- inequality rows
     c_rows = jnp.zeros((N + 1, nc_stage, nzt), dtype=dtype)
@@ -233,3 +255,159 @@ def stage_step_to_dense(dx_tilde: jnp.ndarray, du: jnp.ndarray,
     decision-vector layout (normalized step, `qp_data.split_z` ordering)."""
     dxs = dx_tilde[:, :system.nx]           # (N+1, nx)
     return jnp.concatenate([dxs.reshape(-1), du.reshape(-1)])
+
+
+# ------------------------------------------------------------------
+# Structure-exploiting stage representation
+# ------------------------------------------------------------------
+#
+# The packed StageQP treats all 59 rows/stage as a dense (nc, nzt) block and
+# the dynamics as dense (nxt, nxt) maps.  Almost all of that is structural
+# zero: the discrete dynamics are I plus ONE off-diagonal element (ZOH of a
+# nilpotent A, `models/dynamics.py:40-47`), bt is [bd; I], and 48 of the 59
+# rows are +-diagonal (state/input boxes) or two-entry rows (ddq rate).
+# Only the npc polytopic rows are dense.  StageQPS stores exactly the
+# nonzero content; the structured IPM (`solver/qp_ipm.py::solve_qp_ipm_s`)
+# consumes it with O(structure) work per Newton step instead of dense
+# matmuls — ~4x fewer FLOPs and, more importantly on TPU, ~5x less HBM
+# traffic per sweep at batch scale.
+
+
+@struct.dataclass
+class StageQPS:
+    """Structured stage-separable normalized QP (leading axis = stage)."""
+
+    # cost blocks (identical content to StageQP)
+    h: jnp.ndarray        # (N, NZT, NZT)
+    g: jnp.ndarray        # (N, NZT)
+    h_term: jnp.ndarray   # (NXT, NXT)
+    g_term: jnp.ndarray   # (NXT,)
+    # dynamics: x'_{k+1} = (I + a_sv E_{s,vs}) x'_k + bd u_k (x rows);
+    #           u'_{k+1} = u_k
+    a_sv: jnp.ndarray     # scalar: Ts * tx[vs] / tx[s]
+    bd: jnp.ndarray       # (NX, NU) normalized Bd (sparse-ish, small)
+    e: jnp.ndarray        # (N, NXT) defect (x rows only nonzero)
+    # box rows: diag scales (traced params) + offsets
+    tx: jnp.ndarray       # (NX,)  state-box row scale
+    tu: jnp.ndarray       # (NU,)  input-box row scale
+    t_rate: jnp.ndarray   # (DOF,) rate row scale = tu[:dof] / ts
+    d_xu: jnp.ndarray     # (N+1, NX) upper state box offsets
+    d_xl: jnp.ndarray     # (N+1, NX) lower
+    d_uu: jnp.ndarray     # (N, NU)
+    d_ul: jnp.ndarray     # (N, NU)
+    d_ru: jnp.ndarray     # (N, DOF)
+    d_rl: jnp.ndarray     # (N, DOF)
+    # polytopic rows (the only dense ones)
+    cpx: jnp.ndarray      # (N+1, NPC, NX) normalized x-jacobian rows
+    cpu: jnp.ndarray      # (N, NPC, NU)   normalized u-jacobian rows
+    d_p: jnp.ndarray      # (N+1, NPC)
+    # per-stage activity masks (group-wide, float 0/1)
+    m_x: jnp.ndarray      # (N+1,) state box active for k >= 1
+    m_u: jnp.ndarray      # (N+1,) input/rate/polytopic active for k <= N-1
+
+
+def build_qp_stages_s(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
+                      params: MPCCParams, current_u: jnp.ndarray, ts,
+                      exact_heading_jac: bool = False,
+                      system: System = PANDA) -> StageQPS:
+    """Assemble the same normalized QP as :func:`build_qp_stages`, in
+    structured form (equivalence is tested by packing: `tests/test_qp_ipm.py`)."""
+    dtype = z.dtype
+    nx, nu, dof = system.nx, system.nu, system.dof
+    s_idx, vs_idx = system.s_idx, system.vs_idx
+    tx = params.normalization.t_x
+    tu = params.normalization.t_u
+    tx_inv = params.normalization.t_x_inv
+    tudq = tu[:dof]
+
+    h, g, h_term, g_term, e, xs, us, up, ddq_pair = _cost_blocks(
+        track, z, rb, params, current_u, ts, exact_heading_jac, system)
+
+    # dynamics structure: ad_n = I + a_sv E_{s,vs} exactly (diag entries are
+    # tx_inv_i * tx_i = 1); verified against the dense _discrete_ab in tests
+    a_sv = jnp.asarray(float(ts), dtype=dtype) * tx[vs_idx] * tx_inv[s_idx]
+    ad, bd_raw = _discrete_ab(ts, dtype, system)
+    bd = tx_inv[:, None] * bd_raw * tu[None, :]
+
+    # box offsets (same values as the packed d_vec)
+    bx_l, bx_u = jax.vmap(
+        lambda x: state_bounds(x, params, track.length, system))(xs)
+    d_xu = bx_u - xs
+    d_xl = xs - bx_l
+    # s-row reachability clamp (see build_qp_stages)
+    d_xu = d_xu.at[:, s_idx].set(jnp.maximum(d_xu[:, s_idx], 1e-6))
+    d_xl = d_xl.at[:, s_idx].set(jnp.maximum(d_xl[:, s_idx], 1e-6))
+    b = params.bounds
+    d_uu = b.u_u[None, :] - us
+    d_ul = us - b.u_l[None, :]
+    rate_val = ddq_pair / ts
+    d_ru = b.ddq_u[None, :] - rate_val
+    d_rl = rate_val - b.ddq_l[None, :]
+
+    # polytopic rows
+    cvals, _, _, cx, cu = jax.vmap(
+        lambda x, u, k, t: stage_constraints(x, u, index_robot_data(rb, k), t,
+                                             params, with_jacobian=True,
+                                             system=system)
+    )(xs, up, jnp.arange(N + 1), _IS_TERMINAL)
+    cpx = cx * tx[None, None, :]
+    cpu = (cu * tu[None, None, :])[:N]
+    d_p = -cvals
+
+    m_x = jnp.concatenate([jnp.zeros(1, dtype=dtype),
+                           jnp.ones(N, dtype=dtype)])
+    m_u = jnp.concatenate([jnp.ones(N, dtype=dtype),
+                           jnp.zeros(1, dtype=dtype)])
+    return StageQPS(h=h, g=g, h_term=h_term, g_term=g_term,
+                    a_sv=a_sv, bd=bd, e=e,
+                    tx=tx, tu=tu, t_rate=tudq / ts,
+                    d_xu=d_xu, d_xl=d_xl, d_uu=d_uu, d_ul=d_ul,
+                    d_ru=d_ru, d_rl=d_rl, cpx=cpx, cpu=cpu, d_p=d_p,
+                    m_x=m_x, m_u=m_u)
+
+
+def pack_stage_qp(qps: StageQPS, system: System = PANDA) -> StageQP:
+    """StageQPS -> packed StageQP (testing/interop; reproduces the exact
+    row layout of :func:`build_qp_stages`)."""
+    dtype = qps.e.dtype
+    nx, nu, dof = system.nx, system.nu, system.dof
+    nxt, nzt = system.nxt, system.nzt
+    nc_stage = system.nc_stage
+    n_stages = qps.e.shape[0]
+
+    at = jnp.zeros((nxt, nxt), dtype=dtype).at[:nx, :nx].set(
+        jnp.eye(nx, dtype=dtype)).at[system.s_idx, system.vs_idx].add(qps.a_sv)
+    bt = jnp.zeros((nxt, nu), dtype=dtype).at[:nx, :].set(qps.bd)
+    bt = bt.at[nx:, :].set(jnp.eye(nu, dtype=dtype))
+
+    c_rows = jnp.zeros((n_stages + 1, nc_stage, nzt), dtype=dtype)
+    d_vec = jnp.zeros((n_stages + 1, nc_stage), dtype=dtype)
+    tx_diag = jnp.diag(qps.tx)
+    tu_diag = jnp.diag(qps.tu)
+    c_rows = c_rows.at[:, 0:nx, :nx].set(tx_diag[None])
+    c_rows = c_rows.at[:, nx:2 * nx, :nx].set(-tx_diag[None])
+    d_vec = d_vec.at[:, 0:nx].set(qps.d_xu)
+    d_vec = d_vec.at[:, nx:2 * nx].set(qps.d_xl)
+    o = 2 * nx
+    c_rows = c_rows.at[:n_stages, o:o + nu, nxt:].set(tu_diag[None])
+    c_rows = c_rows.at[:n_stages, o + nu:o + 2 * nu, nxt:].set(-tu_diag[None])
+    d_vec = d_vec.at[:n_stages, o:o + nu].set(qps.d_uu)
+    d_vec = d_vec.at[:n_stages, o + nu:o + 2 * nu].set(qps.d_ul)
+    o = 2 * nx + 2 * nu
+    rate_blk = jnp.diag(qps.t_rate)
+    c_rows = c_rows.at[:n_stages, o:o + dof, nxt:nxt + dof].set(rate_blk[None])
+    c_rows = c_rows.at[:n_stages, o:o + dof, nx:nx + dof].set(-rate_blk[None])
+    c_rows = c_rows.at[:n_stages, o + dof:o + 2 * dof,
+                       nxt:nxt + dof].set(-rate_blk[None])
+    c_rows = c_rows.at[:n_stages, o + dof:o + 2 * dof,
+                       nx:nx + dof].set(rate_blk[None])
+    d_vec = d_vec.at[:n_stages, o:o + dof].set(qps.d_ru)
+    d_vec = d_vec.at[:n_stages, o + dof:o + 2 * dof].set(qps.d_rl)
+    o = 2 * nx + 2 * nu + 2 * dof
+    c_rows = c_rows.at[:, o:, :nx].set(qps.cpx)
+    c_rows = c_rows.at[:n_stages, o:, nxt:].set(qps.cpu)
+    d_vec = d_vec.at[:, o:].set(qps.d_p)
+
+    return StageQP(h=qps.h, g=qps.g, h_term=qps.h_term, g_term=qps.g_term,
+                   at=at, bt=bt, e=qps.e, c_rows=c_rows, d_vec=d_vec,
+                   mask=_row_masks(system, dtype))

@@ -263,10 +263,14 @@ class SQPConfig:
     # `osqp_interface.cpp:543`) or "merit" (the reference's unused l1-merit
     # Armijo variant, `osqp_interface.cpp:717-757`).
     line_search: str = "filter"
-    # QP solver: "admm" (dense OSQP-style splitting, reference-faithful) or
-    # "riccati" (structured primal-dual IPM with Riccati inner solves —
-    # ~12 Newton steps vs hundreds of ADMM iterations; requires the filter
-    # line search and no BFGS).
+    # QP solver: "admm" (dense OSQP-style splitting, reference-faithful);
+    # "riccati" (structured primal-dual IPM with Riccati inner solves on the
+    # packed StageQP rows — ~12 Newton steps vs hundreds of ADMM iterations;
+    # the fastest plain-XLA path; requires the filter line search, no BFGS);
+    # "riccati_struct" (same IPM on the structure-exploiting StageQPS —
+    # numerically identical steps, the algorithm reference for the kernel);
+    # "riccati_pallas" (StageQPS solved by the fused VMEM-resident TPU
+    # kernel — the production TPU path).
     qp_solver: str = "admm"
     ipm_max_iter: int = 25
     # IPM centering scheme: "adaptive" (one Riccati solve/iteration, sigma

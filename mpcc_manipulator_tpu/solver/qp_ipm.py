@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..ocp.qp_stages import StageQP
+from ..ocp.qp_stages import StageQP, StageQPS
 from ..utils.linalg_small import cho_solve_small, cholesky_small
 
 EPS_IPM = 1e-5       # complementarity target (OSQP-grade accuracy)
@@ -349,3 +349,346 @@ def solve_qp_ipm(qp: StageQP, max_iter: int = 25,
                              jnp.max(jnp.abs(r_fin * qp.mask)) < 1e-3)
     return IPMSolution(dx_tilde=dx, du=du, lam=lam, iters=it, solved=solved,
                        mu=mu_fin)
+
+
+# ------------------------------------------------------------------
+# Structure-exploiting solver (StageQPS)
+# ------------------------------------------------------------------
+#
+# Same IPM as solve_qp_ipm, consuming the structured representation:
+# the dynamics maps are I + one element (a_sv) and [bd; I], and only the
+# npc polytopic rows are dense — so the dense (nxt, nxt) matmuls of the
+# Riccati sweep collapse to slices plus small bd products, and the
+# C' diag(w) C modification is a diagonal update plus an npc-row einsum.
+# Numerically identical to the packed path (same Newton systems); tested
+# for step equivalence in tests/test_qp_ipm.py.
+
+
+def _riccati_backward_s(qp: StageQPS, hbar, gbar, hbar_term, gbar_term,
+                        with_vectors: bool = True):
+    """Structured backward sweep.  Returns (k_gains, k_ffs, fact) where
+    ``fact = (p_mats, chols, s_bars)`` supports later vector-only sweeps."""
+    bd = qp.bd
+    a_sv = qp.a_sv
+    nx, nu = bd.shape
+    nxt = hbar_term.shape[0]
+    s_idx, vs_idx = nx - 2, nx - 1
+
+    def backward(carry, blocks):
+        p_mat, p_vec = carry
+        h_k, g_k, e_k = blocks
+        q = h_k[:nxt, :nxt]
+        sb = h_k[nxt:, :nxt]
+        r = h_k[nxt:, nxt:]
+        # pa_x = (P @ at)[:, :nx]; all other columns of P @ at are zero
+        pa_x = p_mat[:, :nx].at[:, vs_idx].add(a_sv * p_mat[:, s_idx])
+        # q_bar = q + at' P at  (rows: copy, plus row vs += a_sv * row s)
+        contrib = pa_x[:nx, :].at[vs_idx, :].add(a_sv * pa_x[s_idx, :])
+        q_bar = q.at[:nx, :nx].add(contrib)
+        # s_bar = sb + bt' P at;  bt = [bd; I]
+        s_bar = sb.at[:, :nx].add(bd.T @ pa_x[:nx, :] + pa_x[nx:, :])
+        # r_bar = r + bt' P bt
+        pb = p_mat[:, :nx] @ bd + p_mat[:, nx:]
+        r_bar = r + bd.T @ pb[:nx, :] + pb[nx:, :]
+        chol = cholesky_small(
+            r_bar + 1e-9 * jnp.eye(nu, dtype=r_bar.dtype), nu)
+        if with_vectors:
+            qx, ru = g_k[:nxt], g_k[nxt:]
+            e_x = e_k[:nx]
+            m_vec = p_vec + p_mat[:, :nx] @ e_x
+            qx_bar = (qx.at[:nx].add(m_vec[:nx])
+                        .at[vs_idx].add(a_sv * m_vec[s_idx]))
+            ru_bar = ru + bd.T @ m_vec[:nx] + m_vec[nx:]
+            sol_kk = -cho_solve_small(
+                chol, jnp.concatenate([s_bar, ru_bar[:, None]], axis=-1), nu)
+            k_gain, k_ff = sol_kk[:, :nxt], sol_kk[:, nxt]
+            p_vec_new = qx_bar + s_bar.T @ k_ff
+        else:
+            k_gain = -cho_solve_small(chol, s_bar, nu)
+            k_ff = jnp.zeros(nu, dtype=h_k.dtype)
+            p_vec_new = p_vec
+        p_new = q_bar + s_bar.T @ k_gain
+        p_new = 0.5 * (p_new + p_new.T)
+        return (p_new, p_vec_new), (k_gain, k_ff, p_mat, chol, s_bar)
+
+    gb = gbar if with_vectors else jnp.zeros_like(qp.g)
+    gt = gbar_term if with_vectors else jnp.zeros(nxt, dtype=qp.e.dtype)
+    (_, _), (k_gains, k_ffs, p_mats, chols, s_bars) = jax.lax.scan(
+        backward, (hbar_term, gt), (hbar, gb, qp.e),
+        reverse=True, unroll=True)
+    return k_gains, k_ffs, (p_mats, chols, s_bars)
+
+
+def _riccati_forward_s(qp: StageQPS, k_gains, k_ffs):
+    """Structured forward rollout: dx'_{k+1} = at dx'_k + bt du_k + e_k."""
+    bd = qp.bd
+    a_sv = qp.a_sv
+    nx, nu = bd.shape
+    nxt = nx + nu
+    s_idx, vs_idx = nx - 2, nx - 1
+
+    def forward(dx, blocks):
+        k_gain, k_ff, e_k = blocks
+        du_k = k_gain @ dx + k_ff
+        x_next = (dx[:nx].at[s_idx].add(a_sv * dx[vs_idx])
+                  + bd @ du_k + e_k[:nx])
+        dx_next = jnp.concatenate([x_next, du_k])
+        return dx_next, (dx, du_k)
+
+    dx0 = jnp.zeros(nxt, dtype=qp.e.dtype)
+    dx_last, (dxs, dus) = jax.lax.scan(forward, dx0, (k_gains, k_ffs, qp.e),
+                                       unroll=True)
+    dx_all = jnp.concatenate([dxs, dx_last[None]], axis=0)
+    return dx_all, dus
+
+
+def _riccati_ff_s(qp: StageQPS, fact, gbar, gbar_term):
+    """Vector-only backward sweep against a saved structured factorization
+    + forward rollout (Mehrotra corrector path)."""
+    bd = qp.bd
+    a_sv = qp.a_sv
+    nx, nu = bd.shape
+    nxt = nx + nu
+    s_idx, vs_idx = nx - 2, nx - 1
+    p_mats, chols, s_bars, k_gains = fact
+
+    def backward(p_vec, blocks):
+        p_mat, chol, s_bar, g_k, e_k = blocks
+        qx, ru = g_k[:nxt], g_k[nxt:]
+        m_vec = p_vec + p_mat[:, :nx] @ e_k[:nx]
+        qx_bar = (qx.at[:nx].add(m_vec[:nx])
+                    .at[vs_idx].add(a_sv * m_vec[s_idx]))
+        ru_bar = ru + bd.T @ m_vec[:nx] + m_vec[nx:]
+        k_ff = -cho_solve_small(chol, ru_bar[:, None], nu)[:, 0]
+        p_vec_new = qx_bar + s_bar.T @ k_ff
+        return p_vec_new, k_ff
+
+    _, k_ffs = jax.lax.scan(backward, gbar_term,
+                            (p_mats, chols, s_bars, gbar, qp.e),
+                            reverse=True, unroll=True)
+    return _riccati_forward_s(qp, k_gains, k_ffs)
+
+
+@partial(jax.jit, static_argnames=("max_iter", "scheme"))
+def solve_qp_ipm_s(qp: StageQPS, max_iter: int = 25,
+                   scheme: str = "adaptive") -> IPMSolution:
+    """Structured-representation IPM (see module comment above).
+
+    Same algorithm, tolerances, and safeguards as :func:`solve_qp_ipm`;
+    O(structure) work per Newton step.  Shape-generic over systems.
+    """
+    dtype = qp.e.dtype
+    n_stages = qp.e.shape[0]                 # N
+    nx, nu = qp.bd.shape
+    dof = qp.t_rate.shape[0]
+    npc = qp.d_p.shape[1]
+    nxt = nx + nu
+    nzt = nxt + nu
+    ar_x = jnp.arange(nx)
+    ar_u = jnp.arange(nu)
+    ar_d = jnp.arange(dof)
+    m_act = jnp.asarray(n_stages * (2 * nx + 2 * nu + 2 * dof + npc),
+                        dtype=dtype)
+    # groups (exact shapes, no masks): state box covers stages 1..N,
+    # input/rate/polytopic cover stages 0..N-1
+    cpx = qp.cpx[:n_stages]
+    d_p = qp.d_p[:n_stages]
+    d_x = (qp.d_xu[1:], qp.d_xl[1:])
+
+    def row_dots(dx_all, du_all):
+        """C z per group: (xu, xl, uu, ul, ru, rl, p)."""
+        cz_x = qp.tx[None, :] * dx_all[1:, :nx]
+        cz_u = qp.tu[None, :] * du_all
+        cz_r = qp.t_rate[None, :] * (du_all[:, :dof]
+                                     - dx_all[:n_stages, nx:nx + dof])
+        cz_p = (jnp.einsum("krz,kz->kr", cpx, dx_all[:n_stages, :nx])
+                + jnp.einsum("krz,kz->kr", qp.cpu, du_all))
+        return cz_x, -cz_x, cz_u, -cz_u, cz_r, -cz_r, cz_p
+
+    def tree_init(val):
+        return (jnp.full((n_stages, nx), val, dtype=dtype),
+                jnp.full((n_stages, nx), val, dtype=dtype),
+                jnp.full((n_stages, nu), val, dtype=dtype),
+                jnp.full((n_stages, nu), val, dtype=dtype),
+                jnp.full((n_stages, dof), val, dtype=dtype),
+                jnp.full((n_stages, dof), val, dtype=dtype),
+                jnp.full((n_stages, npc), val, dtype=dtype))
+
+    def tmap(f, *trees):
+        return tuple(f(*leaves) for leaves in zip(*trees))
+
+    def tsum(tree):
+        return sum(jnp.sum(l) for l in tree)
+
+    def tmin(tree):
+        return jnp.min(jnp.asarray([jnp.min(l) for l in tree]))
+
+    def tmaxabs(tree):
+        return jnp.max(jnp.asarray([jnp.max(jnp.abs(l)) for l in tree]))
+
+    d_all = (d_x[0], d_x[1], qp.d_uu, qp.d_ul, qp.d_ru, qp.d_rl, d_p)
+
+    def max_alpha(v_tree, dv_tree):
+        def one(v, dv):
+            neg = dv < -1e-12
+            return jnp.min(jnp.where(neg, -v / jnp.where(neg, dv, -1.0),
+                                     jnp.inf))
+        return jnp.minimum(1.0, FRAC_TO_BOUNDARY * tmin(tmap(one, v_tree,
+                                                             dv_tree)))
+
+    dx0 = jnp.zeros((n_stages + 1, nxt), dtype=dtype)
+    du0 = jnp.zeros((n_stages, nu), dtype=dtype)
+    s0 = tree_init(1.0)
+    lam0 = tree_init(1.0)
+    mu0 = jnp.asarray(1.0, dtype=dtype)
+
+    def body(carry):
+        dx, du, s, lam, mu, it, done = carry
+        s_safe = tmap(lambda v: jnp.maximum(v, 1e-10), s)
+        w = tmap(lambda l, ss: l / ss, lam, s_safe)
+        mu_meas = tsum(tmap(lambda a, b: a * b, s, lam)) / m_act
+
+        w_xu, w_xl, w_uu, w_ul, w_ru, w_rl, w_p = w
+
+        # ---- Hbar: diagonal + two-entry + npc-row contributions
+        tx2 = qp.tx * qp.tx
+        tu2 = qp.tu * qp.tu
+        tr2 = qp.t_rate * qp.t_rate
+        dxx = tx2[None, :] * (w_xu + w_xl)         # (N, nx), stages 1..N
+        duu = tu2[None, :] * (w_uu + w_ul)         # (N, nu), stages 0..N-1
+        rr = tr2[None, :] * (w_ru + w_rl)          # (N, dof)
+        cpx_w = cpx * w_p[..., None]
+        hxx_p = jnp.einsum("krz,krv->kzv", cpx_w, cpx)
+        hxu_p = jnp.einsum("krz,krv->kzv", cpx_w, qp.cpu)
+        huu_p = jnp.einsum("krz,krv->kzv", qp.cpu * w_p[..., None], qp.cpu)
+
+        hbar = qp.h
+        hbar = hbar.at[:, :nx, :nx].add(hxx_p)
+        hbar = hbar.at[:, :nx, nxt:].add(hxu_p)
+        hbar = hbar.at[:, nxt:, :nx].add(jnp.swapaxes(hxu_p, -1, -2))
+        hbar = hbar.at[:, nxt:, nxt:].add(huu_p)
+        # state-box diag: stage k holds knot k's x block (k >= 1)
+        hbar = hbar.at[1:, ar_x, ar_x].add(dxx[:n_stages - 1])
+        hbar = hbar.at[:, nxt + ar_u, nxt + ar_u].add(duu)
+        hbar = hbar.at[:, nxt + ar_d, nxt + ar_d].add(rr)
+        hbar = hbar.at[:, nx + ar_d, nx + ar_d].add(rr)
+        hbar = hbar.at[:, nxt + ar_d, nx + ar_d].add(-rr)
+        hbar = hbar.at[:, nx + ar_d, nxt + ar_d].add(-rr)
+        hbar_term = qp.h_term.at[ar_x, ar_x].add(dxx[n_stages - 1])
+
+        if scheme == "mehrotra":
+            k_gains, _, (p_mats, chols, s_bars) = _riccati_backward_s(
+                qp, hbar, None, hbar_term, None, with_vectors=False)
+            fact = (p_mats, chols, s_bars, k_gains)
+            sweep = lambda gbar, gbar_term: _riccati_ff_s(qp, fact, gbar,
+                                                          gbar_term)
+        else:
+            def sweep(gbar, gbar_term):
+                k_gains, k_ffs, _ = _riccati_backward_s(
+                    qp, hbar, gbar, hbar_term, gbar_term, with_vectors=True)
+                return _riccati_forward_s(qp, k_gains, k_ffs)
+
+        def solve_rhs(rhs):
+            r_g = tmap(lambda wg, sg, dg, rg, ssg: wg * (sg - dg) + rg / ssg,
+                       w, s, d_all, rhs, s_safe)
+            r_xu, r_xl, r_uu, r_ul, r_ru, r_rl, r_p = r_g
+            # g_mod x slots (knot k's x block): box rows (stages 1..N) +
+            # polytopic (stages 0..N-1)
+            gx_box = qp.tx[None, :] * (r_xu - r_xl)            # (N, nx)
+            gx_p = jnp.einsum("krz,kr->kz", cpx, r_p)          # (N, nx)
+            gu = (qp.tu[None, :] * (r_uu - r_ul)
+                  + jnp.einsum("krz,kr->kz", qp.cpu, r_p))     # (N, nu)
+            gr = qp.t_rate[None, :] * (r_ru - r_rl)            # (N, dof)
+
+            gbar = qp.g
+            gbar = gbar.at[:, :nx].add(gx_p)
+            gbar = gbar.at[1:, :nx].add(gx_box[:n_stages - 1])
+            gbar = gbar.at[:, nxt:].add(gu)
+            gbar = gbar.at[:, nxt + ar_d].add(gr)
+            gbar = gbar.at[:, nx + ar_d].add(-gr)
+            gbar_term = qp.g_term.at[:nx].add(gx_box[n_stages - 1])
+
+            dx_t, du_t = sweep(gbar, gbar_term)
+            cz = row_dots(dx_t, du_t)
+            s_t = tmap(lambda dg, czg: dg - czg, d_all, cz)
+            lam_t = tmap(lambda rg, ssg, wg, czg, sg, dg:
+                         rg / ssg + wg * (czg + sg - dg),
+                         rhs, s_safe, w, cz, s, d_all)
+            return dx_t, du_t, s_t, lam_t
+
+        if scheme == "mehrotra":
+            zeros = tmap(jnp.zeros_like, s)
+            _, _, s_a, lam_a = solve_rhs(zeros)
+            ds_a = tmap(lambda a, b: a - b, s_a, s)
+            dlam_a = tmap(lambda a, b: a - b, lam_a, lam)
+            a_p_aff = max_alpha(s, ds_a)
+            a_d_aff = max_alpha(lam, dlam_a)
+            mu_aff = tsum(tmap(
+                lambda sg, dsg, lg, dlg: (sg + a_p_aff * dsg)
+                * (lg + a_d_aff * dlg), s, ds_a, lam, dlam_a)) / m_act
+            sigma_m = jnp.clip((mu_aff / jnp.maximum(mu_meas, 1e-12)) ** 3,
+                               1e-4, 1.0)
+            rhs = tmap(lambda dsg, dlg: sigma_m * mu_meas - dsg * dlg,
+                       ds_a, dlam_a)
+        else:
+            rhs = tmap(lambda sg: jnp.full_like(sg, mu), s)
+
+        dx_t, du_t, s_t, lam_t = solve_rhs(rhs)
+        step_s = tmap(lambda a, b: a - b, s_t, s)
+        step_lam = tmap(lambda a, b: a - b, lam_t, lam)
+        alpha_p = max_alpha(s, step_s)
+        alpha_d = max_alpha(lam, step_lam)
+
+        dx_n = dx + alpha_p * (dx_t - dx)
+        du_n = du + alpha_p * (du_t - du)
+        s_n = tmap(lambda v, dv: v + alpha_p * dv, s, step_s)
+        lam_n = tmap(lambda v, dv: v + alpha_d * dv, lam, step_lam)
+
+        finite = (jnp.all(jnp.isfinite(dx_n)) & jnp.all(jnp.isfinite(du_n))
+                  & jnp.all(jnp.asarray([jnp.all(jnp.isfinite(l))
+                                         for l in s_n + lam_n])))
+        dx = jnp.where(finite, dx_n, dx)
+        du = jnp.where(finite, du_n, du)
+        s = tmap(lambda new, old: jnp.where(finite, new, old), s_n, s)
+        lam = tmap(lambda new, old: jnp.where(finite, new, old), lam_n, lam)
+
+        cz = row_dots(dx, du)
+        r_ineq = tmap(lambda czg, sg, dg: czg + sg - dg, cz, s, d_all)
+        mu_post = tsum(tmap(lambda a, b: a * b, s, lam)) / m_act
+        alpha_min = jnp.minimum(alpha_p, alpha_d)
+        sigma = jnp.clip((1.0 - alpha_min) ** 2, 0.1, 0.8)
+        mu_new = jnp.maximum(sigma * mu_post, 0.01 * EPS_IPM)
+        conv = jnp.logical_and(mu_post < EPS_IPM, tmaxabs(r_ineq) < 2e-4)
+        diverged = jnp.logical_or(~finite, mu_post > 1e6)
+        stop = jnp.logical_or(conv, diverged)
+        return dx, du, s, lam, mu_new, it + 1, jnp.logical_or(done, stop)
+
+    def cond(carry):
+        *_, it, done = carry
+        return jnp.logical_and(~done, it < max_iter)
+
+    dx, du, s, lam, _, it, done = jax.lax.while_loop(
+        cond, body, (dx0, du0, s0, lam0, mu0, jnp.asarray(0),
+                     jnp.asarray(False)))
+
+    cz = row_dots(dx, du)
+    r_fin = tmap(lambda czg, sg, dg: czg + sg - dg, cz, s, d_all)
+    mu_fin = tsum(tmap(lambda a, b: a * b, s, lam)) / m_act
+    solved = jnp.logical_and(mu_fin < 10 * EPS_IPM, tmaxabs(r_fin) < 1e-3)
+
+    # pack duals into the StageQP row layout (API/diagnostic compat)
+    lam_xu, lam_xl, lam_uu, lam_ul, lam_ru, lam_rl, lam_p = lam
+    nc_stage = 2 * nx + 2 * nu + 2 * dof + npc
+    lam_pk = jnp.zeros((n_stages + 1, nc_stage), dtype=dtype)
+    lam_pk = lam_pk.at[1:, 0:nx].set(lam_xu)
+    lam_pk = lam_pk.at[1:, nx:2 * nx].set(lam_xl)
+    o = 2 * nx
+    lam_pk = lam_pk.at[:n_stages, o:o + nu].set(lam_uu)
+    lam_pk = lam_pk.at[:n_stages, o + nu:o + 2 * nu].set(lam_ul)
+    o = 2 * nx + 2 * nu
+    lam_pk = lam_pk.at[:n_stages, o:o + dof].set(lam_ru)
+    lam_pk = lam_pk.at[:n_stages, o + dof:o + 2 * dof].set(lam_rl)
+    o = 2 * nx + 2 * nu + 2 * dof
+    lam_pk = lam_pk.at[:n_stages, o:].set(lam_p)
+    return IPMSolution(dx_tilde=dx, du=du, lam=lam_pk, iters=it,
+                       solved=solved, mu=mu_fin)

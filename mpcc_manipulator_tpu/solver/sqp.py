@@ -94,7 +94,7 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
     ``qp_x0``/``qp_y0`` optionally seed the first QP's ADMM warm start
     (cross-tick warm starting); zeros reproduce the cold-start reference
     behavior."""
-    if system.name != "panda" and cfg.qp_solver != "riccati":
+    if system.name != "panda" and cfg.qp_solver == "admm":
         raise ValueError(
             "the dense ADMM backend is Panda-only (OSQP-conformance path); "
             "use qp_solver='riccati' for other systems")
@@ -122,13 +122,35 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         from ..ocp import qp_stages as qps
         from . import qp_ipm
 
-        qp_st = qps.build_qp_stages(track, z, rb, params, current_u, ts,
-                                    exact_heading_jac, system=system)
-        has_nan = jnp.any(jnp.isnan(qp_st.h)) | jnp.any(jnp.isnan(qp_st.g)) \
-            | jnp.any(jnp.isnan(qp_st.c_rows)) | jnp.any(jnp.isnan(qp_st.d_vec))
-
-        sol = qp_ipm.solve_qp_ipm(qp_st, max_iter=cfg.ipm_max_iter,
-                                  scheme=cfg.ipm_scheme)
+        if cfg.qp_solver in ("riccati_struct", "riccati_pallas"):
+            # structure-exploiting representation: numerically identical
+            # steps; "riccati_struct" solves it with plain-XLA group ops
+            # (reference implementation), "riccati_pallas" with the fused
+            # VMEM-resident TPU kernel.
+            qp_st = qps.build_qp_stages_s(track, z, rb, params, current_u, ts,
+                                          exact_heading_jac, system=system)
+            has_nan = (jnp.any(jnp.isnan(qp_st.h)) | jnp.any(jnp.isnan(qp_st.g))
+                       | jnp.any(jnp.isnan(qp_st.cpx))
+                       | jnp.any(jnp.isnan(qp_st.d_p))
+                       | jnp.any(jnp.isnan(qp_st.d_xu))
+                       | jnp.any(jnp.isnan(qp_st.d_xl)))
+            if cfg.qp_solver == "riccati_pallas":
+                from . import qp_ipm_pallas
+                sol = qp_ipm_pallas.solve_qp_ipm_pallas(
+                    qp_st, max_iter=cfg.ipm_max_iter)
+            else:
+                sol = qp_ipm.solve_qp_ipm_s(qp_st, max_iter=cfg.ipm_max_iter,
+                                            scheme=cfg.ipm_scheme)
+        else:
+            # packed dense-row layout ("riccati"): the fastest plain-XLA
+            # path on TPU (regular einsums; no scatter/gather)
+            qp_st = qps.build_qp_stages(track, z, rb, params, current_u, ts,
+                                        exact_heading_jac, system=system)
+            has_nan = (jnp.any(jnp.isnan(qp_st.h)) | jnp.any(jnp.isnan(qp_st.g))
+                       | jnp.any(jnp.isnan(qp_st.c_rows))
+                       | jnp.any(jnp.isnan(qp_st.d_vec)))
+            sol = qp_ipm.solve_qp_ipm(qp_st, max_iter=cfg.ipm_max_iter,
+                                      scheme=cfg.ipm_scheme)
         step = qps.stage_step_to_dense(sol.dx_tilde, sol.du, system)
         step_nan = jnp.any(jnp.isnan(step))
         guard_fail = jnp.logical_or(has_nan, step_nan)

@@ -167,3 +167,32 @@ def test_ipm_matches_admm(qp_point):
     a_dz = np.asarray(a_mat) @ dz_ipm
     assert np.max(a_dz - np.asarray(uvec - constr)) < 1e-8
     assert np.max(np.asarray(lvec - constr) - a_dz) < 1e-8
+
+
+def test_struct_assembly_packs_to_stage_qp(qp_point):
+    """StageQPS (structure-exploiting layout) packs bit-exactly to StageQP."""
+    track, params, z, rb, current_u = qp_point
+    st = qp_stages.build_qp_stages(track, z, rb, params, current_u, TS)
+    sts = qp_stages.build_qp_stages_s(track, z, rb, params, current_u, TS)
+    pk = qp_stages.pack_stage_qp(sts)
+    for f in ("h", "g", "h_term", "g_term", "at", "bt", "e",
+              "c_rows", "d_vec", "mask"):
+        a, b = getattr(st, f), getattr(pk, f)
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-13, f
+
+
+@pytest.mark.parametrize("scheme", ["adaptive", "mehrotra"])
+def test_struct_ipm_matches_packed_ipm(qp_point, scheme):
+    """The structured solver reproduces the packed solver's Newton path:
+    same iterate (machine precision), same iteration count, same verdict."""
+    track, params, z, rb, current_u = qp_point
+    st = qp_stages.build_qp_stages(track, z, rb, params, current_u, TS)
+    sts = qp_stages.build_qp_stages_s(track, z, rb, params, current_u, TS)
+    a = qp_ipm.solve_qp_ipm(st, max_iter=25, scheme=scheme)
+    b = qp_ipm.solve_qp_ipm_s(sts, max_iter=25, scheme=scheme)
+    assert int(a.iters) == int(b.iters)
+    assert bool(a.solved) == bool(b.solved)
+    assert float(jnp.max(jnp.abs(a.du - b.du))) < 1e-8
+    assert float(jnp.max(jnp.abs(a.dx_tilde - b.dx_tilde))) < 1e-8
+    if bool(a.solved):
+        assert float(jnp.max(jnp.abs(a.lam - b.lam))) < 1e-4
