@@ -1,0 +1,85 @@
+"""Fused Pallas IPM kernel vs the XLA structured reference (interpret mode).
+
+The kernel implements exactly `solve_qp_ipm_s(scheme="adaptive")`; on CPU it
+runs under the Pallas interpreter.  Equivalence contract: identical
+iteration counts and verdicts, float32-level agreement on the step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpcc_manipulator_tpu.config import PANDA_DOF
+from mpcc_manipulator_tpu.models import collision_nn as cnn
+from mpcc_manipulator_tpu.models import kinematics as kin
+from mpcc_manipulator_tpu.ocp import qp_stages as qps
+from mpcc_manipulator_tpu.ocp.robot_data import compute_robot_data
+from mpcc_manipulator_tpu.params import load_params
+from mpcc_manipulator_tpu.solver import qp_ipm, qp_ipm_pallas
+from mpcc_manipulator_tpu.splines import arc_length as als
+
+TS = 0.01
+DT = jnp.float32   # the kernel is a float32 TPU path
+
+
+@pytest.fixture(scope="module")
+def qp_batch():
+    params, _ = load_params(dtype=DT)
+    sel_nn = cnn.load_self_collision_nn(dtype=DT)
+    env_nn = cnn.load_env_collision_nn(dtype=DT)
+    x0 = np.array([0., 0., 0., -np.pi / 2, 0., np.pi / 2, np.pi / 4,
+                   0.05, 0.1])
+    ee = np.asarray(kin.ee_position_host(x0[:PANDA_DOF]))
+    nt = 60
+    phi = np.linspace(0, 2 * np.pi, nt)
+    track = als.gen_6d_spline(
+        np.zeros(nt) + ee[0], 0.15 * np.cos(phi) - 0.15 + ee[1],
+        0.15 * np.sin(phi) + ee[2], np.tile(np.eye(3), (nt, 1, 1)), dtype=DT)
+
+    rng = np.random.default_rng(0)
+    B = 3
+    zs = jnp.asarray(np.concatenate([np.tile(x0, 11), np.zeros(80)])[None]
+                     + 0.002 * rng.standard_normal((B, 179)), dtype=DT)
+
+    def build(z):
+        xs = z[:99].reshape(11, 9)
+        rb = compute_robot_data(xs[:, :PANDA_DOF], jnp.asarray([3., 3., 3.],
+                                                               dtype=DT),
+                                jnp.asarray(0.0, DT), sel_nn, env_nn,
+                                mani_grad="ad")
+        return qps.build_qp_stages_s(track, z, rb, params,
+                                     jnp.zeros(8, dtype=DT), TS, False)
+
+    return jax.vmap(build)(zs)
+
+
+def test_pallas_ipm_matches_xla_reference(qp_batch):
+    ref = jax.vmap(lambda q: qp_ipm.solve_qp_ipm_s(q, max_iter=25,
+                                                   scheme="adaptive"))(qp_batch)
+    sol = qp_ipm_pallas._solve_batched(qp_batch, max_iter=25, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.iters),
+                                  np.asarray(sol.iters))
+    np.testing.assert_array_equal(np.asarray(ref.solved),
+                                  np.asarray(sol.solved))
+    assert float(jnp.max(jnp.abs(ref.du - sol.du))) < 1e-4
+    assert float(jnp.max(jnp.abs(ref.dx_tilde - sol.dx_tilde))) < 1e-4
+    # packed duals agree on solved scenarios (loose: duals are the most
+    # ill-conditioned output in float32; primal agreement is the contract)
+    ok = np.asarray(ref.solved)
+    if ok.any():
+        le = jnp.max(jnp.abs(ref.lam[ok] - sol.lam[ok]))
+        assert float(le) < 0.5
+
+
+def test_pallas_ipm_custom_vmap_dispatch(qp_batch):
+    """vmap of the public entry dispatches one lane-batched kernel call."""
+    solve = qp_ipm_pallas.make_pallas_ipm(max_iter=25, interpret=True)
+    sol_v = jax.vmap(solve)(qp_batch)
+    sol_b = qp_ipm_pallas._solve_batched(qp_batch, max_iter=25,
+                                         interpret=True)
+    assert float(jnp.max(jnp.abs(sol_v.du - sol_b.du))) == 0.0
+    # unbatched base case (single scenario)
+    one = jax.tree.map(lambda a: a[0], qp_batch)
+    sol_1 = solve(one)
+    assert float(jnp.max(jnp.abs(sol_1.du - sol_b.du[0]))) < 1e-6
