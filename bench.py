@@ -60,12 +60,13 @@ def main():
     track, params, _, sel_nn, env_nn, carry, x0, u0, obs = _build_problem(
         dtype, small=False)
     # Production solver configuration: structured Riccati/IPM QP backend
-    # (~10 Newton steps/QP) + exact AD manipulability gradient.  Override
-    # via env for ablations (MPCC_QP_SOLVER=admm, MPCC_QP_BACKEND=pallas,
+    # solved by the fused Pallas kernel (one launch per QP, batch in lanes)
+    # + exact AD manipulability gradient.  Override via env for ablations
+    # (MPCC_QP_SOLVER=riccati|riccati_struct|admm, MPCC_QP_BACKEND=pallas,
     # MPCC_MANI_GRAD=fd).
     cfg = SQPConfig(
         max_iter=20,
-        qp_solver=os.environ.get("MPCC_QP_SOLVER", "riccati"),
+        qp_solver=os.environ.get("MPCC_QP_SOLVER", "riccati_pallas"),
         ipm_max_iter=25,
         qp_max_iter=200, qp_check_every=25,
         qp_backend=os.environ.get("MPCC_QP_BACKEND", "xla"),

@@ -470,6 +470,11 @@ def _solve_batched(qp: StageQPS, system: System = PANDA, max_iter: int = 25,
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
+        # inputs + iterates + Riccati gains + loop transients peak ~19 MB at
+        # BT=128 — above the 16 MB default scoped limit, well under the
+        # physical VMEM of v5e+
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*inputs)
 
     # back to leading-batch layout; strip padding
@@ -524,6 +529,13 @@ def make_pallas_ipm(system: System = PANDA, max_iter: int = 25,
 
 def solve_qp_ipm_pallas(qp: StageQPS, max_iter: int = 25,
                         system: System = PANDA,
-                        interpret: bool = False) -> IPMSolution:
-    """Drop-in for `solve_qp_ipm_s(scheme="adaptive")` on the TPU kernel."""
+                        interpret: bool | None = None) -> IPMSolution:
+    """Drop-in for `solve_qp_ipm_s(scheme="adaptive")` on the TPU kernel.
+
+    ``interpret=None`` auto-selects: compiled on TPU backends, the Pallas
+    interpreter elsewhere (CPU tests of the `riccati_pallas` config).
+    """
+    if interpret is None:
+        # "axon" is this environment's tunneled-TPU PJRT platform name
+        interpret = jax.default_backend() not in ("tpu", "axon")
     return make_pallas_ipm(system, max_iter, interpret)(qp)

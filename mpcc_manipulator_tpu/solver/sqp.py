@@ -198,7 +198,7 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         (z, lam, f_obj, f_vio, f_cnt, hess_carry, grad_l, step_prev, it, status,
          prim_norm, qp_it, done, qp_x, qp_y) = carry
 
-        if cfg.qp_solver == "riccati":
+        if cfg.qp_solver.startswith("riccati"):
             return _riccati_body(z, lam, f_obj, f_vio, f_cnt, hess_carry,
                                  grad_l, step_prev, it, status, prim_norm,
                                  qp_it, done, qp_x, qp_y)
@@ -315,7 +315,7 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
 
     # the dense Hessian/BFGS carry is only consumed by the ADMM path; the
     # Riccati path carries 1x1 placeholders so its loop state stays small
-    hess_dim = 1 if cfg.qp_solver == "riccati" else n_var
+    hess_dim = 1 if cfg.qp_solver.startswith("riccati") else n_var
     init = (
         z0,
         jnp.zeros(n_constr, dtype=dtype),
