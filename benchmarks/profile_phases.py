@@ -51,7 +51,10 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     track, params, _, sel_nn, env_nn, carry, x0, u0, obs = _build_problem(
         dtype, small=False)
-    cfg = SQPConfig(max_iter=20, qp_solver="riccati", ipm_max_iter=25,
+    import os
+    cfg = SQPConfig(max_iter=20,
+                    qp_solver=os.environ.get("MPCC_QP_SOLVER", "riccati_pallas"),
+                    ipm_max_iter=25,
                     qp_max_iter=200, qp_check_every=25, mani_grad="ad")
     ts = 0.01
 
@@ -118,6 +121,38 @@ def main():
         out = chain_ipm(jnp.zeros(batch, dtype=dtype), jnp.asarray(k))
         return float(jnp.sum(out))
 
+    # ---- phase: pallas IPM solve (struct QP fixed)
+    from mpcc_manipulator_tpu.solver import qp_ipm_pallas
+    sts_b = jax.jit(jax.vmap(lambda z, rb: qps.build_qp_stages_s(
+        track, z, rb, params, jnp.zeros(8, dtype=dtype), ts, False))
+    )(z_b, rb_b)
+
+    @jax.jit
+    def chain_pipm(seed, k):
+        def body(i, s):
+            st2 = sts_b.replace(g=sts_b.g + 1e-20 * s[:, None, None])
+            sol = qp_ipm_pallas._solve_batched(st2, max_iter=25)
+            return s + 1e-20 * sol.du[:, 0, 0]
+        return jax.lax.fori_loop(0, k, body, seed)
+
+    def run_pipm(k):
+        out = chain_pipm(jnp.zeros(batch, dtype=dtype), jnp.asarray(k))
+        return float(jnp.sum(out))
+
+    # ---- phase: struct assembly
+    @jax.jit
+    def chain_asms(zs, k):
+        def body(i, zcur):
+            st = jax.vmap(lambda z, rb: qps.build_qp_stages_s(
+                track, z, rb, params, jnp.zeros(8, dtype=dtype), ts, False)
+            )(zcur, rb_b)
+            return zcur + 1e-20 * st.g[:, 0, 0][:, None]
+        return jax.lax.fori_loop(0, k, body, zs)
+
+    def run_asms(k):
+        out = chain_asms(z_b, jnp.asarray(k))
+        return float(jnp.sum(out))
+
     # ---- phase: eval (objective + constraints; one line-search trial)
     @jax.jit
     def chain_eval(zs, k):
@@ -166,7 +201,9 @@ def main():
     results = {}
     for name, fn, k1, k2 in [("robot_data", run_rb, 5, 45),
                              ("assemble", run_asm, 5, 45),
+                             ("assemble_s", run_asms, 5, 45),
                              ("ipm_solve", run_ipm, 3, 13),
+                             ("ipm_pallas", run_pipm, 5, 45),
                              ("eval_point", run_eval, 5, 45),
                              ("full_tick", run_tick, 3, 13)]:
         t = _slope_time(fn, k1, k2)

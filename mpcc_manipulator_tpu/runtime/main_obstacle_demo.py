@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--no_obs", dest="is_obs", action="store_false")
     ap.add_argument("--obs_radius", type=float, default=0.05)
     ap.add_argument("--mat", type=str, default=None)
+    ap.add_argument("--plot", type=str, default=None,
+                    help="write the 4-panel analysis figure here")
     ap.add_argument("--float32", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -101,6 +103,35 @@ def main():
             print(f"wrote {args.mat}")
         except ImportError:
             print("scipy unavailable; skipping .mat export")
+
+    if args.plot and tele["s"]:
+        # 4-panel analysis figure (reference `main_w_sim.py:262-330`):
+        # EE speed, manipulability, min collision distances, contour error
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axs = plt.subplots(2, 2, figsize=(11, 7))
+        t = np.arange(len(tele["s"])) * mpc.Ts
+        axs[0, 0].plot(t, tele["ee_speed"])
+        axs[0, 0].set_title("EE speed [m/s]")
+        axs[0, 1].plot(t, tele["mani"])
+        axs[0, 1].axhline(float(mpc.params.model.tol_sing), color="r",
+                          ls="--")
+        axs[0, 1].set_title("manipulability")
+        axs[1, 0].plot(t, tele["sel_min_dist"], label="self")
+        axs[1, 0].plot(t, tele["env_min_dist"], label="env")
+        axs[1, 0].axhline(float(mpc.params.model.tol_selcol), color="r",
+                          ls="--")
+        axs[1, 0].legend()
+        axs[1, 0].set_title("min collision distance [cm]")
+        axs[1, 1].plot(t, np.asarray(tele["contour_error"]) * 1e3)
+        axs[1, 1].set_title("contour error [mm]")
+        for ax in axs.flat:
+            ax.set_xlabel("time [s]")
+            ax.grid(True, alpha=0.3)
+        fig.tight_layout()
+        fig.savefig(args.plot)
+        print(f"wrote {args.plot}")
 
     st = np.asarray(tele["solve_time"][1:])
     if st.size:
