@@ -83,20 +83,20 @@ def _row_masks(system: System, dtype):
     return jnp.asarray(m, dtype=dtype)
 
 
-def _cost_blocks(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
-                 params: MPCCParams, current_u: jnp.ndarray, ts,
-                 exact_heading_jac: bool, system: System):
-    """Shared normalized cost/dynamics assembly for both stage layouts.
+def _cost_blocks_raw(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
+                     params: MPCCParams, current_u: jnp.ndarray, ts,
+                     exact_heading_jac: bool, system: System):
+    """Raw normalized cost/dynamics blocks — no packing into stage matrices.
 
-    Returns ``(h, g, h_term, g_term, e, xs, us, up, ddq_pair)``.
+    Returns ``(g_x (N+1,nx), g_u (N,nu), h_xx (N+1,nx,nx), h_uu (N,nu,nu),
+    h_xu (N,nx,nu), two_r (N,), ddq_pair (N,dof), defect (N,nx),
+    xs, us, up)``.
     """
     dtype = z.dtype
     nx, nu, dof = system.nx, system.nu, system.dof
-    nxt, nzt = system.nxt, system.nzt
     tx = params.normalization.t_x
     tu = params.normalization.t_u
     tx_inv = params.normalization.t_x_inv
-    tudq = tu[:dof]
     xs, us = split_z(z, system)
     up = us_padded(us)
 
@@ -112,6 +112,39 @@ def _cost_blocks(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     h_uu = (tu[None, :, None] * fuu * tu[None, None, :])[:N]
     h_xu = (tx[None, :, None] * fxu * tu[None, None, :])[:N]
 
+    # ddq smoothness: stage k covers the pair (u_k, u_{k-1}) for k = 1..N-1
+    r_ddq = params.cost.r_ddq
+    pair_mask = jnp.concatenate([jnp.zeros(1, dtype=dtype),
+                                 jnp.ones(N - 1, dtype=dtype)])
+    two_r = 2.0 * r_ddq * pair_mask  # (N,)
+    dq_all = us[:, :dof]
+    dq_prev = jnp.concatenate([current_u[None, :dof], dq_all[:-1]], axis=0)
+    ddq_pair = dq_all - dq_prev     # (N, dof); stage k pair diff
+
+    # defect: -T_x_inv (x_{k+1} - (Ad x_k + Bd u_k)) (sign folded in later)
+    ad, bd = _discrete_ab(ts, dtype, system)
+    pred = xs[:-1] @ ad.T + us @ bd.T
+    defect = (xs[1:] - pred) * tx_inv[None, :]
+    return g_x, g_u, h_xx, h_uu, h_xu, two_r, ddq_pair, defect, xs, us, up
+
+
+def _cost_blocks(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
+                 params: MPCCParams, current_u: jnp.ndarray, ts,
+                 exact_heading_jac: bool, system: System):
+    """Shared normalized cost/dynamics assembly for both stage layouts.
+
+    Returns ``(h, g, h_term, g_term, e, xs, us, up, ddq_pair)``.
+    """
+    dtype = z.dtype
+    nx, nu, dof = system.nx, system.nu, system.dof
+    nxt, nzt = system.nxt, system.nzt
+    tu = params.normalization.t_u
+    tudq = tu[:dof]
+
+    (g_x, g_u, h_xx, h_uu, h_xu, two_r, ddq_pair, defect,
+     xs, us, up) = _cost_blocks_raw(track, z, rb, params, current_u, ts,
+                                    exact_heading_jac, system)
+
     # ---- stage Hessians/gradients in augmented coordinates
     h = jnp.zeros((N, nzt, nzt), dtype=dtype)
     g = jnp.zeros((N, nzt), dtype=dtype)
@@ -123,12 +156,7 @@ def _cost_blocks(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     g = g.at[:, :nx].set(g_x[:N])
     g = g.at[:, nxt:].set(g_u)
 
-    # ddq smoothness: stage k covers the pair (u_k, u_{k-1}) for k = 1..N-1
-    r_ddq = params.cost.r_ddq
     tu2 = tudq[:, None] * tudq[None, :] * jnp.eye(dof, dtype=dtype)
-    pair_mask = jnp.concatenate([jnp.zeros(1, dtype=dtype),
-                                 jnp.ones(N - 1, dtype=dtype)])
-    two_r = 2.0 * r_ddq * pair_mask  # (N,)
     # blocks: +2r on u_k, +2r on u^_{k-1}, -2r cross
     h = h.at[:, nxt:nxt + dof, nxt:nxt + dof].add(
         two_r[:, None, None] * tu2)
@@ -139,9 +167,6 @@ def _cost_blocks(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     h = h.at[:, nxt:nxt + dof, nx:nx + dof].add(
         -two_r[:, None, None] * tu2)
     # gradient: +-2r T (dq_k - dq_{k-1})
-    dq_all = us[:, :dof]
-    dq_prev = jnp.concatenate([current_u[None, :dof], dq_all[:-1]], axis=0)
-    ddq_pair = dq_all - dq_prev     # (N, dof); stage k pair diff
     g = g.at[:, nxt:nxt + dof].add(
         two_r[:, None] * tudq[None, :] * ddq_pair)
     g = g.at[:, nx:nx + dof].add(
@@ -151,10 +176,6 @@ def _cost_blocks(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     h_term = jnp.zeros((nxt, nxt), dtype=dtype).at[:nx, :nx].set(h_xx[N])
     g_term = jnp.zeros(nxt, dtype=dtype).at[:nx].set(g_x[N])
 
-    # defect: e_k = -T_x_inv (x_{k+1} - (Ad x_k + Bd u_k)) on the x rows
-    ad, bd = _discrete_ab(ts, dtype, system)
-    pred = xs[:-1] @ ad.T + us @ bd.T
-    defect = (xs[1:] - pred) * tx_inv[None, :]
     e = jnp.zeros((N, nxt), dtype=dtype).at[:, :nx].set(-defect)
     return h, g, h_term, g_term, e, xs, us, up, ddq_pair
 
@@ -411,3 +432,146 @@ def pack_stage_qp(qps: StageQPS, system: System = PANDA) -> StageQP:
     return StageQP(h=qps.h, g=qps.g, h_term=qps.h_term, g_term=qps.g_term,
                    at=at, bt=bt, e=qps.e, c_rows=c_rows, d_vec=d_vec,
                    mask=_row_masks(system, dtype))
+
+
+# ------------------------------------------------------------------
+# Kernel-direct representation
+# ------------------------------------------------------------------
+#
+# The fused Pallas IPM kernel consumes the QP as compact cost/constraint
+# BLOCKS; packing those blocks into (nzt, nzt) stage matrices (StageQP /
+# StageQPS) just so the kernel wrapper can slice them back out again costs
+# ~29 ms per SQP iteration at batch 1024 — every `.at[...].set` on the big
+# batched arrays is a full-array copy under XLA.  StageQPK stores exactly
+# the blocks the kernel reads, with NO packing step: assembly cost drops to
+# the underlying derivative math.
+
+
+@struct.dataclass
+class StageQPK:
+    """Compact stage blocks for the Pallas IPM kernel (leading axis = stage).
+
+    Same normalized QP content as :class:`StageQPS`; related by the pure
+    repacking in :func:`qpk_to_qps` (tested for equivalence).
+    """
+
+    hxx: jnp.ndarray      # (N+1, NX, NX) per-knot x Hessian (incl. terminal)
+    hux: jnp.ndarray      # (N, NU, NX)   cross term, u-major
+    huu: jnp.ndarray      # (N, NU, NU)   input Hessian incl. ddq smoothness
+    r2: jnp.ndarray       # (N, DOF)      2 r_ddq tudq^2 per stage (u_prev diag)
+    gx: jnp.ndarray       # (N+1, NX)
+    gu: jnp.ndarray       # (N, NU)       incl. +smoothness gradient
+    gxu: jnp.ndarray      # (N, DOF)      -smoothness gradient (u_prev slots)
+    e: jnp.ndarray        # (N, NX)       dynamics defect
+    a_sv: jnp.ndarray     # scalar
+    bd: jnp.ndarray       # (NX, NU)
+    tx: jnp.ndarray       # (NX,)
+    tu: jnp.ndarray       # (NU,)
+    t_rate: jnp.ndarray   # (DOF,)
+    d_xu: jnp.ndarray     # (N, NX)  state box offsets, knots 1..N
+    d_xl: jnp.ndarray     # (N, NX)
+    d_uu: jnp.ndarray     # (N, NU)
+    d_ul: jnp.ndarray     # (N, NU)
+    d_ru: jnp.ndarray     # (N, DOF)
+    d_rl: jnp.ndarray     # (N, DOF)
+    d_p: jnp.ndarray      # (N, NPC)
+    cpx: jnp.ndarray      # (N, NPC, NX)
+    cpu: jnp.ndarray      # (N, NPC, NU)
+
+
+def build_qp_stages_k(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
+                      params: MPCCParams, current_u: jnp.ndarray, ts,
+                      exact_heading_jac: bool = False,
+                      system: System = PANDA) -> StageQPK:
+    """Assemble the normalized QP directly in kernel-block form."""
+    dtype = z.dtype
+    nx, nu, dof = system.nx, system.nu, system.dof
+    s_idx, vs_idx = system.s_idx, system.vs_idx
+    tx = params.normalization.t_x
+    tu = params.normalization.t_u
+    tx_inv = params.normalization.t_x_inv
+    tudq = tu[:dof]
+
+    (g_x, g_u, h_xx, h_uu, h_xu, two_r, ddq_pair, defect,
+     xs, us, up) = _cost_blocks_raw(track, z, rb, params, current_u, ts,
+                                    exact_heading_jac, system)
+
+    tu2 = tudq * tudq
+    r2 = two_r[:, None] * tu2[None, :]
+    eye_u = jnp.eye(nu, dtype=dtype)
+    huu = h_uu + eye_u[None] * jnp.concatenate(
+        [r2, jnp.zeros((N, nu - dof), dtype=dtype)], axis=1)[:, None, :]
+    g_sm = two_r[:, None] * tudq[None, :] * ddq_pair
+    gu = g_u.at[:, :dof].add(g_sm)
+    gxu = -g_sm
+
+    a_sv = jnp.asarray(float(ts), dtype=dtype) * tx[vs_idx] * tx_inv[s_idx]
+    ad, bd_raw = _discrete_ab(ts, dtype, system)
+    bd = tx_inv[:, None] * bd_raw * tu[None, :]
+
+    bx_l, bx_u = jax.vmap(
+        lambda x: state_bounds(x, params, track.length, system))(xs)
+    d_xu = (bx_u - xs)[1:]
+    d_xl = (xs - bx_l)[1:]
+    d_xu = d_xu.at[:, s_idx].set(jnp.maximum(d_xu[:, s_idx], 1e-6))
+    d_xl = d_xl.at[:, s_idx].set(jnp.maximum(d_xl[:, s_idx], 1e-6))
+    b = params.bounds
+    d_uu = b.u_u[None, :] - us
+    d_ul = us - b.u_l[None, :]
+    rate_val = ddq_pair / ts
+    d_ru = b.ddq_u[None, :] - rate_val
+    d_rl = rate_val - b.ddq_l[None, :]
+
+    cvals, _, _, cx, cu = jax.vmap(
+        lambda x, u, k, t: stage_constraints(x, u, index_robot_data(rb, k), t,
+                                             params, with_jacobian=True,
+                                             system=system)
+    )(xs, up, jnp.arange(N + 1), _IS_TERMINAL)
+    cpx = (cx * tx[None, None, :])[:N]
+    cpu = (cu * tu[None, None, :])[:N]
+    d_p = -cvals[:N]
+
+    return StageQPK(hxx=h_xx, hux=jnp.swapaxes(h_xu, -1, -2), huu=huu,
+                    r2=r2, gx=g_x, gu=gu, gxu=gxu, e=-defect,
+                    a_sv=a_sv, bd=bd, tx=tx, tu=tu, t_rate=tudq / ts,
+                    d_xu=d_xu, d_xl=d_xl, d_uu=d_uu, d_ul=d_ul,
+                    d_ru=d_ru, d_rl=d_rl, d_p=d_p, cpx=cpx, cpu=cpu)
+
+
+def qpk_to_qps(qpk: StageQPK, system: System = PANDA) -> StageQPS:
+    """StageQPK -> StageQPS (testing/interop repack)."""
+    dtype = qpk.e.dtype
+    nx, nu, dof = system.nx, system.nu, system.dof
+    nxt, nzt = system.nxt, system.nzt
+    n_st = qpk.e.shape[0]
+    h = jnp.zeros((n_st, nzt, nzt), dtype=dtype)
+    h = h.at[:, :nx, :nx].set(qpk.hxx[:n_st])
+    h_xu = jnp.swapaxes(qpk.hux, -1, -2)
+    h = h.at[:, :nx, nxt:].set(h_xu)
+    h = h.at[:, nxt:, :nx].set(qpk.hux)
+    h = h.at[:, nxt:, nxt:].set(qpk.huu)
+    ar = jnp.arange(dof)
+    h = h.at[:, nx + ar, nx + ar].add(qpk.r2)
+    h = h.at[:, nx + ar, nxt + ar].add(-qpk.r2)
+    h = h.at[:, nxt + ar, nx + ar].add(-qpk.r2)
+    g = jnp.zeros((n_st, nzt), dtype=dtype)
+    g = g.at[:, :nx].set(qpk.gx[:n_st])
+    g = g.at[:, nxt:].set(qpk.gu)
+    g = g.at[:, nx + ar].set(qpk.gxu)
+    h_term = jnp.zeros((nxt, nxt), dtype=dtype).at[:nx, :nx].set(qpk.hxx[n_st])
+    g_term = jnp.zeros(nxt, dtype=dtype).at[:nx].set(qpk.gx[n_st])
+    e = jnp.zeros((n_st, nxt), dtype=dtype).at[:, :nx].set(qpk.e)
+    pad1 = lambda a: jnp.concatenate([jnp.zeros((1,) + a.shape[1:],
+                                                dtype=dtype), a], axis=0)
+    padN = lambda a: jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:],
+                                                   dtype=dtype)], axis=0)
+    m_x = jnp.concatenate([jnp.zeros(1, dtype=dtype), jnp.ones(N, dtype=dtype)])
+    m_u = jnp.concatenate([jnp.ones(N, dtype=dtype), jnp.zeros(1, dtype=dtype)])
+    return StageQPS(h=h, g=g, h_term=h_term, g_term=g_term,
+                    a_sv=qpk.a_sv, bd=qpk.bd, e=e,
+                    tx=qpk.tx, tu=qpk.tu, t_rate=qpk.t_rate,
+                    d_xu=pad1(qpk.d_xu), d_xl=pad1(qpk.d_xl),
+                    d_uu=qpk.d_uu, d_ul=qpk.d_ul,
+                    d_ru=qpk.d_ru, d_rl=qpk.d_rl,
+                    cpx=padN(qpk.cpx), cpu=qpk.cpu, d_p=padN(qpk.d_p),
+                    m_x=m_x, m_u=m_u)

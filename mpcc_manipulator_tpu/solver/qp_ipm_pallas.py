@@ -40,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ocp.qp_stages import StageQPS
+from ..ocp.qp_stages import StageQPK, StageQPS
 from ..system import PANDA, System
 from .qp_ipm import EPS_IPM, FRAC_TO_BOUNDARY, IPMSolution, solve_qp_ipm_s
 
@@ -374,46 +374,44 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
     mu_out[:] = mu_fin
 
 
-def _pack_inputs(qp: StageQPS, system: System):
-    """Batched StageQPS (leading axis B) -> kernel input list (batch-last)."""
+def _pack_inputs(qp: StageQPK, system: System):
+    """Batched StageQPK (leading axis B) -> kernel input list (batch-last).
+
+    StageQPK already stores the exact blocks the kernel reads, so this is
+    flatten + one batch-to-lanes transpose per array — no slicing/repacking.
+    """
     nx, nu, dof = system.nx, system.nu, system.dof
     npc = system.npc
-    nxt = nx + nu
     n_st = qp.e.shape[1]
+    b = qp.e.shape[0]
     bl = lambda a: jnp.moveaxis(a, 0, -1)  # batch-last
 
-    hxx = jnp.concatenate([qp.h[:, :, :nx, :nx],
-                           qp.h_term[:, None, :nx, :nx]], axis=1)
-    b = qp.e.shape[0]
-    hxx = bl(hxx.reshape(b, n_st + 1, nx * nx))
-    hux = bl(qp.h[:, :, nxt:, :nx].reshape(b, n_st, nu * nx))
-    huu = bl(qp.h[:, :, nxt:, nxt:].reshape(b, n_st, nu * nu))
-    r2 = bl(jnp.diagonal(qp.h[:, :, nx:nx + dof, nx:nx + dof],
-                         axis1=2, axis2=3))
-    gx = bl(jnp.concatenate([qp.g[:, :, :nx], qp.g_term[:, None, :nx]],
-                            axis=1))
-    gu = bl(qp.g[:, :, nxt:])
-    gxu = bl(qp.g[:, :, nx:nx + dof])
-    e = bl(qp.e[:, :, :nx])
+    hxx = bl(qp.hxx.reshape(b, n_st + 1, nx * nx))
+    hux = bl(qp.hux.reshape(b, n_st, nu * nx))
+    huu = bl(qp.huu.reshape(b, n_st, nu * nu))
+    r2 = bl(qp.r2)
+    gx = bl(qp.gx)
+    gu = bl(qp.gu)
+    gxu = bl(qp.gxu)
+    e = bl(qp.e)
     bd = bl(qp.bd.reshape(b, nx * nu))
     a_sv = jnp.broadcast_to(qp.a_sv.reshape(b)[None, :], (1, b))
-    cpx = bl(qp.cpx[:, :n_st].reshape(b, n_st, npc * nx))
+    cpx = bl(qp.cpx.reshape(b, n_st, npc * nx))
     cpu = bl(qp.cpu.reshape(b, n_st, npc * nu))
-    d_cat = bl(jnp.concatenate([qp.d_xu[:, 1:], qp.d_xl[:, 1:],
-                                qp.d_uu, qp.d_ul, qp.d_ru, qp.d_rl,
-                                qp.d_p[:, :n_st]], axis=2))
-    tx = bl(jnp.broadcast_to(qp.tx[:, None, :], (b, 1, nx))[:, 0])
-    tu = bl(jnp.broadcast_to(qp.tu[:, None, :], (b, 1, nu))[:, 0])
-    tr = bl(jnp.broadcast_to(qp.t_rate[:, None, :], (b, 1, dof))[:, 0])
+    d_cat = bl(jnp.concatenate([qp.d_xu, qp.d_xl, qp.d_uu, qp.d_ul,
+                                qp.d_ru, qp.d_rl, qp.d_p], axis=2))
+    tx = bl(qp.tx)
+    tu = bl(qp.tu)
+    tr = bl(qp.t_rate)
     return [hxx, hux, huu, r2, gx, gu, gxu, e, bd, a_sv, cpx, cpu, d_cat,
             tx, tu, tr], n_st
 
 
 @functools.partial(jax.jit,
                    static_argnames=("system", "max_iter", "interpret"))
-def _solve_batched(qp: StageQPS, system: System = PANDA, max_iter: int = 25,
+def _solve_batched(qp: StageQPK, system: System = PANDA, max_iter: int = 25,
                    interpret: bool = False):
-    """Batched solve: StageQPS with leading batch axis -> batched IPMSolution."""
+    """Batched solve: StageQPK with leading batch axis -> batched IPMSolution."""
     nx, nu, dof, npc = system.nx, system.nu, system.dof, system.npc
     nxt = nx + nu
     nc = 2 * nx + 2 * nu + 2 * dof + npc
@@ -505,7 +503,7 @@ def make_pallas_ipm(system: System = PANDA, max_iter: int = 25,
         return _SOLVER_CACHE[key]
 
     @jax.custom_batching.custom_vmap
-    def solve(qp: StageQPS) -> IPMSolution:
+    def solve(qp: StageQPK) -> IPMSolution:
         # unbatched call: run the batched kernel with B = 1 (127 idle lanes;
         # still one launch and VMEM-resident — fast in absolute terms)
         qp1 = jax.tree.map(lambda a: a[None], qp)
@@ -527,7 +525,7 @@ def make_pallas_ipm(system: System = PANDA, max_iter: int = 25,
     return solve
 
 
-def solve_qp_ipm_pallas(qp: StageQPS, max_iter: int = 25,
+def solve_qp_ipm_pallas(qp: StageQPK, max_iter: int = 25,
                         system: System = PANDA,
                         interpret: bool | None = None) -> IPMSolution:
     """Drop-in for `solve_qp_ipm_s(scheme="adaptive")` on the TPU kernel.

@@ -122,11 +122,23 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         from ..ocp import qp_stages as qps
         from . import qp_ipm
 
-        if cfg.qp_solver in ("riccati_struct", "riccati_pallas"):
-            # structure-exploiting representation: numerically identical
-            # steps; "riccati_struct" solves it with plain-XLA group ops
-            # (reference implementation), "riccati_pallas" with the fused
-            # VMEM-resident TPU kernel.
+        if cfg.qp_solver == "riccati_pallas":
+            # kernel-direct block assembly (no stage-matrix packing — the
+            # .at-chain packing costs ~2x the whole QP solve at batch scale)
+            # + the fused VMEM-resident TPU kernel
+            from . import qp_ipm_pallas
+            qp_k = qps.build_qp_stages_k(track, z, rb, params, current_u, ts,
+                                         exact_heading_jac, system=system)
+            has_nan = (jnp.any(jnp.isnan(qp_k.hxx)) | jnp.any(jnp.isnan(qp_k.gx))
+                       | jnp.any(jnp.isnan(qp_k.cpx))
+                       | jnp.any(jnp.isnan(qp_k.d_p))
+                       | jnp.any(jnp.isnan(qp_k.d_xu))
+                       | jnp.any(jnp.isnan(qp_k.d_xl)))
+            sol = qp_ipm_pallas.solve_qp_ipm_pallas(
+                qp_k, max_iter=cfg.ipm_max_iter, system=system)
+        elif cfg.qp_solver == "riccati_struct":
+            # structure-exploiting representation solved with plain-XLA
+            # group ops (the kernel's algorithm reference)
             qp_st = qps.build_qp_stages_s(track, z, rb, params, current_u, ts,
                                           exact_heading_jac, system=system)
             has_nan = (jnp.any(jnp.isnan(qp_st.h)) | jnp.any(jnp.isnan(qp_st.g))
@@ -134,13 +146,8 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
                        | jnp.any(jnp.isnan(qp_st.d_p))
                        | jnp.any(jnp.isnan(qp_st.d_xu))
                        | jnp.any(jnp.isnan(qp_st.d_xl)))
-            if cfg.qp_solver == "riccati_pallas":
-                from . import qp_ipm_pallas
-                sol = qp_ipm_pallas.solve_qp_ipm_pallas(
-                    qp_st, max_iter=cfg.ipm_max_iter)
-            else:
-                sol = qp_ipm.solve_qp_ipm_s(qp_st, max_iter=cfg.ipm_max_iter,
-                                            scheme=cfg.ipm_scheme)
+            sol = qp_ipm.solve_qp_ipm_s(qp_st, max_iter=cfg.ipm_max_iter,
+                                        scheme=cfg.ipm_scheme)
         else:
             # packed dense-row layout ("riccati"): the fastest plain-XLA
             # path on TPU (regular einsums; no scatter/gather)

@@ -48,16 +48,36 @@ def qp_batch():
                                                                dtype=DT),
                                 jnp.asarray(0.0, DT), sel_nn, env_nn,
                                 mani_grad="ad")
-        return qps.build_qp_stages_s(track, z, rb, params,
-                                     jnp.zeros(8, dtype=DT), TS, False)
+        qs = qps.build_qp_stages_s(track, z, rb, params,
+                                   jnp.zeros(8, dtype=DT), TS, False)
+        qk = qps.build_qp_stages_k(track, z, rb, params,
+                                   jnp.zeros(8, dtype=DT), TS, False)
+        return qs, qk
 
     return jax.vmap(build)(zs)
 
 
+def test_qpk_repacks_to_qps(qp_batch):
+    """The kernel-direct assembly carries the exact same QP as StageQPS.
+
+    Masked rows (knot-0 state box, terminal polytopic) are never read by
+    any solver and StageQPK doesn't store them; compare active rows only.
+    """
+    qp_s, qp_k = qp_batch
+    re_s = jax.vmap(qps.qpk_to_qps)(qp_k)
+    sl = {"d_xu": np.s_[:, 1:], "d_xl": np.s_[:, 1:],
+          "cpx": np.s_[:, :-1], "d_p": np.s_[:, :-1]}
+    for f in qp_s.__dataclass_fields__:
+        idx = sl.get(f, np.s_[:])
+        a, b = getattr(qp_s, f)[idx], getattr(re_s, f)[idx]
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-6, f
+
+
 def test_pallas_ipm_matches_xla_reference(qp_batch):
+    qp_s, qp_k = qp_batch
     ref = jax.vmap(lambda q: qp_ipm.solve_qp_ipm_s(q, max_iter=25,
-                                                   scheme="adaptive"))(qp_batch)
-    sol = qp_ipm_pallas._solve_batched(qp_batch, max_iter=25, interpret=True)
+                                                   scheme="adaptive"))(qp_s)
+    sol = qp_ipm_pallas._solve_batched(qp_k, max_iter=25, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref.iters),
                                   np.asarray(sol.iters))
     np.testing.assert_array_equal(np.asarray(ref.solved),
@@ -74,12 +94,13 @@ def test_pallas_ipm_matches_xla_reference(qp_batch):
 
 def test_pallas_ipm_custom_vmap_dispatch(qp_batch):
     """vmap of the public entry dispatches one lane-batched kernel call."""
+    _, qp_k = qp_batch
     solve = qp_ipm_pallas.make_pallas_ipm(max_iter=25, interpret=True)
-    sol_v = jax.vmap(solve)(qp_batch)
-    sol_b = qp_ipm_pallas._solve_batched(qp_batch, max_iter=25,
+    sol_v = jax.vmap(solve)(qp_k)
+    sol_b = qp_ipm_pallas._solve_batched(qp_k, max_iter=25,
                                          interpret=True)
     assert float(jnp.max(jnp.abs(sol_v.du - sol_b.du))) == 0.0
     # unbatched base case (single scenario)
-    one = jax.tree.map(lambda a: a[0], qp_batch)
+    one = jax.tree.map(lambda a: a[0], qp_k)
     sol_1 = solve(one)
     assert float(jnp.max(jnp.abs(sol_1.du - sol_b.du[0]))) < 1e-6
