@@ -74,11 +74,28 @@ def _segment(sp: RotSplineCoeffs, s):
     return s, idx, dx
 
 
+def _select(sp: RotSplineCoeffs, i):
+    """Gather (R_i flat, omega_i, c_i, d_i) via one one-hot contraction
+    (see `cubic._select` — avoids serialized per-lane TPU gathers).
+
+    ``i`` is a segment index (0..n-2), so only the first n-1 knot rotations
+    can be selected — the table is built on the segment arrays.
+    """
+    m = sp.omega.shape[0]              # n - 1 segments
+    oh = (jnp.arange(m) == i).astype(sp.omega.dtype)
+    rows = jnp.concatenate([
+        sp.r[:m].reshape(m, 9), sp.omega,
+        sp.c[:, None], sp.d[:, None]], axis=1)            # (m, 14)
+    sel = oh @ rows
+    return sel[:9].reshape(3, 3), sel[9:12], sel[12], sel[13]
+
+
 def rot_spline_value(sp: RotSplineCoeffs, s) -> jnp.ndarray:
     """R(s); at the endpoint returns the final knot rotation exactly."""
     s, i, dx = _segment(sp, s)
-    blend = sp.c[i] * dx * dx + sp.d[i] * dx * dx * dx
-    r_val = sp.r[i] @ so3.exp_rot(sp.omega[i] * blend)
+    r_i, omega_i, c_i, d_i = _select(sp, i)
+    blend = c_i * dx * dx + d_i * dx * dx * dx
+    r_val = r_i @ so3.exp_rot(omega_i * blend)
     return jnp.where(s >= sp.length, sp.r[-1], r_val)
 
 
@@ -86,6 +103,7 @@ def rot_spline_derivative(sp: RotSplineCoeffs, s) -> jnp.ndarray:
     """dR/ds expressed as the angular-velocity vector (reference
     `CubicSplineRot::getDerivative`); 0 at the endpoint."""
     s, i, dx = _segment(sp, s)
-    dblend = 2.0 * sp.c[i] * dx + 3.0 * sp.d[i] * dx * dx
-    der = sp.omega[i] * dblend
+    r_i, omega_i, c_i, d_i = _select(sp, i)
+    dblend = 2.0 * c_i * dx + 3.0 * d_i * dx * dx
+    der = omega_i * dblend
     return jnp.where(s >= sp.length, jnp.zeros_like(der), der)
