@@ -66,20 +66,44 @@ def mlp_forward(params: MLPParams, x: jnp.ndarray, is_nerf: bool = True) -> jnp.
 def mlp_forward_jacobian(params: MLPParams, x: jnp.ndarray, is_nerf: bool = True):
     """Forward pass + analytic input Jacobian.
 
-    Returns ``(y (n_out,), dy/dx (n_out, n_in))``; semantics identical to the
+    Returns ``(y (n_out,), dy/dx (n_out, n_in))``; values identical to the
     reference ``calculateMlpOutput`` chain-rule accumulation
-    (`SelfCollisionModel.cpp:160-222`).
+    (`SelfCollisionModel.cpp:160-222`).  Accumulation direction is chosen by
+    shape: reverse (output-side, like jacrev) when n_out < n_in-after-
+    encoding, forward otherwise — for the 30-in/9-out env model reverse
+    accumulation carries 9 rows instead of 30 columns through the four
+    256-wide layers, ~3x fewer FLOPs (exact same Jacobian; matmul
+    reassociation only).
     """
     h = nerf_encode(x) if is_nerf else x
-    jac = _nerf_jacobian(x) if is_nerf else jnp.eye(x.shape[-1], dtype=x.dtype)
     n_layer = len(params.weights)
-    for i in range(n_layer - 1):
-        z = params.weights[i] @ h + params.biases[i]
-        mask = (z > 0.0).astype(x.dtype)
-        h = jnp.maximum(z, 0.0)
-        jac = (mask[:, None] * params.weights[i]) @ jac
-    y = params.weights[-1] @ h + params.biases[-1]
-    jac = params.weights[-1] @ jac
+    n_out = params.weights[-1].shape[0]
+    n_enc = h.shape[-1]
+
+    if n_out < n_enc:
+        # reverse accumulation: propagate (n_out, width) from the output
+        masks = []
+        for i in range(n_layer - 1):
+            z = params.weights[i] @ h + params.biases[i]
+            masks.append((z > 0.0).astype(x.dtype))
+            h = jnp.maximum(z, 0.0)
+        y = params.weights[-1] @ h + params.biases[-1]
+        jac = params.weights[-1]
+        for i in reversed(range(n_layer - 1)):
+            jac = (jac * masks[i][None, :]) @ params.weights[i]
+    else:
+        # forward accumulation (reference direction)
+        jac = jnp.eye(n_enc, dtype=x.dtype)
+        for i in range(n_layer - 1):
+            z = params.weights[i] @ h + params.biases[i]
+            mask = (z > 0.0).astype(x.dtype)
+            h = jnp.maximum(z, 0.0)
+            jac = (mask[:, None] * params.weights[i]) @ jac
+        y = params.weights[-1] @ h + params.biases[-1]
+        jac = params.weights[-1] @ jac
+
+    if is_nerf:
+        jac = jac @ _nerf_jacobian(x)
     return y, jac
 
 
