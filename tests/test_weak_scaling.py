@@ -1,0 +1,56 @@
+"""Weak-scaling structure: the compiled sharded tick moves no problem data
+across partitions.
+
+The reference has no distributed axis at all (SURVEY.md §2); for the batched
+scenario axis mandated by BASELINE.json, weak scaling is determined entirely
+by the communication structure of the compiled program.  This pins it: the
+only cross-partition collectives allowed in the sharded step are the
+batch-wide ``lax.while_loop`` convergence votes — O(1) predicate bytes,
+independent of mesh size, batch size, and problem size.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.weak_scaling import audit_collectives
+from mpcc_manipulator_tpu.models import collision_nn as cnn
+from mpcc_manipulator_tpu.models import kinematics as kin
+from mpcc_manipulator_tpu.config import PANDA_DOF
+from mpcc_manipulator_tpu.params import SQPConfig, load_params
+from mpcc_manipulator_tpu.parallel import sharding as shd
+from mpcc_manipulator_tpu.splines import arc_length as als
+
+
+def test_sharded_step_collectives_are_vote_bytes_only():
+    params, _ = load_params(dtype=jnp.float32)
+    cfg = SQPConfig(max_iter=1, qp_solver="riccati", ipm_max_iter=2)
+    sel_nn = cnn.load_self_collision_nn(dtype=jnp.float32)
+    env_nn = cnn.load_env_collision_nn(dtype=jnp.float32)
+    x0 = jnp.asarray([0., 0., 0., -np.pi / 2, 0., np.pi / 2, np.pi / 4, 0., 0.],
+                     dtype=jnp.float32)
+    ee = np.asarray(kin.ee_position(x0[:PANDA_DOF]))
+    phi = np.linspace(0, 2 * np.pi, 40)
+    track = als.gen_6d_spline(
+        np.zeros(40) + ee[0], 0.15 * np.cos(phi) - 0.15 + ee[1],
+        0.15 * np.sin(phi) + ee[2],
+        np.tile(np.asarray(kin.ee_orientation(x0[:PANDA_DOF])), (40, 1, 1)),
+        dtype=jnp.float32)
+
+    n, batch = 2, 4
+    mesh = shd.make_mesh(jax.devices("cpu")[:n])
+    carry_b = shd.batch_init_carry(batch, jnp.float32)
+    x0_b = jnp.tile(x0[None], (batch, 1))
+    u0_b = jnp.zeros((batch, 8), dtype=jnp.float32)
+    obs_b = jnp.tile(jnp.asarray([3., 3., 3.], dtype=jnp.float32)[None], (batch, 1))
+    rad_b = jnp.zeros(batch, dtype=jnp.float32)
+    scen = shd.shard_batch((carry_b, x0_b, u0_b, obs_b, rad_b), mesh)
+    args = (shd.replicate(track, mesh), shd.replicate(params, mesh),
+            shd.replicate(sel_nn, mesh), shd.replicate(env_nn, mesh), *scen)
+
+    step = shd.make_sharded_step(mesh, ts=0.01, cfg=cfg)
+    compiled = step.lower(*args).compile()
+    counts, payload = audit_collectives(compiled.as_text())
+
+    assert set(counts) <= {"all-reduce"}, counts
+    assert payload <= 16, (counts, payload)  # predicate votes, not data
