@@ -121,16 +121,16 @@ def main():
         out = chain_ipm(jnp.zeros(batch, dtype=dtype), jnp.asarray(k))
         return float(jnp.sum(out))
 
-    # ---- phase: pallas IPM solve (struct QP fixed)
+    # ---- phase: pallas IPM solve (kernel-direct QP fixed)
     from mpcc_manipulator_tpu.solver import qp_ipm_pallas
-    sts_b = jax.jit(jax.vmap(lambda z, rb: qps.build_qp_stages_s(
+    sts_b = jax.jit(jax.vmap(lambda z, rb: qps.build_qp_stages_k(
         track, z, rb, params, jnp.zeros(8, dtype=dtype), ts, False))
     )(z_b, rb_b)
 
     @jax.jit
     def chain_pipm(seed, k):
         def body(i, s):
-            st2 = sts_b.replace(g=sts_b.g + 1e-20 * s[:, None, None])
+            st2 = sts_b.replace(gx=sts_b.gx + 1e-20 * s[:, None, None])
             sol = qp_ipm_pallas._solve_batched(st2, max_iter=25)
             return s + 1e-20 * sol.du[:, 0, 0]
         return jax.lax.fori_loop(0, k, body, seed)
@@ -151,6 +151,20 @@ def main():
 
     def run_asms(k):
         out = chain_asms(z_b, jnp.asarray(k))
+        return float(jnp.sum(out))
+
+    # ---- phase: kernel-direct assembly (the production assemble path)
+    @jax.jit
+    def chain_asmk(zs, k):
+        def body(i, zcur):
+            st = jax.vmap(lambda z, rb: qps.build_qp_stages_k(
+                track, z, rb, params, jnp.zeros(8, dtype=dtype), ts, False)
+            )(zcur, rb_b)
+            return zcur + 1e-20 * st.gx[:, 0, 0][:, None]
+        return jax.lax.fori_loop(0, k, body, zs)
+
+    def run_asmk(k):
+        out = chain_asmk(z_b, jnp.asarray(k))
         return float(jnp.sum(out))
 
     # ---- phase: eval (objective + constraints; one line-search trial)
@@ -202,6 +216,7 @@ def main():
     for name, fn, k1, k2 in [("robot_data", run_rb, 5, 45),
                              ("assemble", run_asm, 5, 45),
                              ("assemble_s", run_asms, 5, 45),
+                             ("assemble_k", run_asmk, 5, 45),
                              ("ipm_solve", run_ipm, 3, 13),
                              ("ipm_pallas", run_pipm, 5, 45),
                              ("eval_point", run_eval, 5, 45),
@@ -215,9 +230,10 @@ def main():
           f"qp_iters(total newton): max={qp_iters.max()} mean={qp_iters.mean():.1f}")
     tick = results["full_tick"]
     model = (results["robot_data"]
-             + sqp_iters.max() * (results["assemble"] + results["ipm_solve"]
+             + sqp_iters.max() * (results["assemble_k"] + results["ipm_pallas"]
                                   + results["eval_point"]))
-    print(f"tick={tick:.1f} ms; phase model at max sqp iters = {model:.1f} ms")
+    print(f"tick={tick:.1f} ms; production phase model at max sqp iters = "
+          f"{model:.1f} ms")
 
 
 if __name__ == "__main__":
