@@ -42,10 +42,16 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+# The result shape may be a single shape ('pred[]', 'f32[1024,8]{1,0}') or a
+# parenthesized TUPLE of shapes — XLA's all-reduce combiner and the async
+# '-start' variants emit variadic collectives like
+#   '(f32[1024,8], f32[1024]) all-reduce(...)'
+# so the shape group must admit '(...)' or the audit undercounts real
+# data-moving collectives (advisor finding, round 2).
 _COLLECTIVE_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(\S+)\s+"
+    r"=\s*(\([^)]*\)|\S+)\s+"
     r"(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)"
-    r"(?:-start)?\(",
+    r"(?:-start)?\(",  # '-done' excluded: it would double-count its '-start'
     re.M)
 
 _SHAPE_BYTES = {"pred": 1, "s8": 1, "u8": 1, "bf16": 2, "f16": 2, "s16": 2,

@@ -51,7 +51,15 @@ def save_state(path: str, state, step: int) -> None:
     try:
         with os.fdopen(fd, "wb") as f:
             np.savez(f, **arrays)
+            f.flush()
+            os.fsync(f.fileno())   # durable before the rename is visible
         os.replace(tmp, path)
+        # fsync the directory so the rename itself survives a crash
+        dfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -62,9 +70,11 @@ def restore_state(path: str, template):
     """Load a checkpoint into the structure of ``template``.
 
     Returns ``(state, step)``.  Every leaf is validated against the
-    template's shape and cast to the template's dtype; missing or extra
-    arrays are errors (a checkpoint from a different program shape should
-    fail loudly, not half-load).
+    template's shape and dtype; missing or extra arrays are errors, and so
+    is a dtype mismatch unless it is an exact-value-preserving widening
+    (e.g. a float32 checkpoint into a float64 template).  A checkpoint from
+    a different program shape/precision fails loudly, never half-loads or
+    silently truncates (advisor finding, round 2).
     """
     with np.load(path) as z:
         stored = {k: z[k] for k in z.files}
@@ -82,7 +92,13 @@ def restore_state(path: str, template):
         if tuple(arr.shape) != tuple(tshape):
             raise ValueError(f"{name}: checkpoint shape {arr.shape} != "
                              f"template shape {tshape}")
-        leaves.append(np.asarray(arr, dtype=np.asarray(tleaf).dtype))
+        tdtype = np.asarray(tleaf).dtype
+        if arr.dtype != tdtype and not np.can_cast(arr.dtype, tdtype,
+                                                   casting="safe"):
+            raise ValueError(
+                f"{name}: checkpoint dtype {arr.dtype} does not safely cast "
+                f"to template dtype {tdtype} (lossy restore refused)")
+        leaves.append(np.asarray(arr, dtype=tdtype))
     treedef = jax.tree_util.tree_structure(template)
     return jax.tree_util.tree_unflatten(treedef, leaves), step
 

@@ -92,3 +92,22 @@ def test_latest_and_mismatch(setup, tmp_path):
            jnp.zeros(8, dtype=jnp.float32))
     with pytest.raises(ValueError):
         ckpt.restore_state(str(tmp_path / "ckpt_1.npz"), bad)
+
+
+def test_dtype_mismatch_refused_widening_allowed(setup, tmp_path):
+    """A float64 checkpoint must not silently truncate into a float32
+    template; the value-preserving direction (f32 ckpt -> f64 template)
+    stays allowed."""
+    _, _, _, _, x0 = setup
+    state64 = (init_carry(jnp.float64),
+               x0.astype(jnp.float64), jnp.zeros(8, dtype=jnp.float64))
+    ckpt.save_state(str(tmp_path / "c64.npz"), state64, step=3)
+    tmpl32 = (init_carry(jnp.float32),
+              x0.astype(jnp.float32), jnp.zeros(8, dtype=jnp.float32))
+    with pytest.raises(ValueError, match="dtype"):
+        ckpt.restore_state(str(tmp_path / "c64.npz"), tmpl32)
+
+    ckpt.save_state(str(tmp_path / "c32.npz"), tmpl32, step=4)
+    restored, step = ckpt.restore_state(str(tmp_path / "c32.npz"), state64)
+    assert step == 4
+    assert np.asarray(restored[1]).dtype == np.float64

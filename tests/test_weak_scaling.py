@@ -38,7 +38,15 @@ def test_sharded_step_collectives_are_vote_bytes_only():
         dtype=jnp.float32)
 
     n, batch = 2, 4
-    mesh = shd.make_mesh(jax.devices("cpu")[:n])
+    cpu_devices = jax.devices("cpu")
+    # guard against a vacuous pass: if the 8-virtual-device XLA flag did not
+    # take (run outside conftest), a 1-device mesh would compile zero
+    # collectives and the assertions below would hold trivially
+    assert len(cpu_devices) >= n, (
+        f"need >= {n} virtual CPU devices, got {len(cpu_devices)} — "
+        "xla_force_host_platform_device_count flag not in effect")
+    mesh = shd.make_mesh(cpu_devices[:n])
+    assert mesh.devices.size == n
     carry_b = shd.batch_init_carry(batch, jnp.float32)
     x0_b = jnp.tile(x0[None], (batch, 1))
     u0_b = jnp.zeros((batch, 8), dtype=jnp.float32)
@@ -54,3 +62,24 @@ def test_sharded_step_collectives_are_vote_bytes_only():
 
     assert set(counts) <= {"all-reduce"}, counts
     assert payload <= 16, (counts, payload)  # predicate votes, not data
+
+
+def test_collective_audit_regex_matches_variadic_and_async_forms():
+    """The audit regex must count tuple-shaped (variadic) collectives and
+    async '-start' ops — XLA's all-reduce combiner emits exactly these
+    (advisor finding, round 2)."""
+    hlo = "\n".join([
+        "  %ar.0 = pred[] all-reduce(pred[] %p), replica_groups={}, to_apply=%or",
+        "  %ar.1 = (f32[1024,8]{1,0}, f32[1024]{0}) all-reduce("
+        "f32[1024,8] %a, f32[1024] %b), replica_groups={}, to_apply=%add",
+        "  %ars.2 = (f32[16]{0}, f32[16]{0}, u32[]) all-reduce-start("
+        "f32[16] %c), replica_groups={}, to_apply=%add",
+        "  %ard.2 = f32[16]{0} all-reduce-done((f32[16], f32[16], u32[]) %ars.2)",
+        "  %ag.3 = bf16[64,128]{1,0} all-gather(bf16[8,128] %d), dimensions={0}",
+        "  %not.a.collective = f32[4]{0} add(f32[4] %x, f32[4] %y)",
+    ])
+    counts, payload = audit_collectives(hlo)
+    # -done excluded by design (it would double-count its -start)
+    assert counts == {"all-reduce": 3, "all-gather": 1}, counts
+    # pred[]=1 + (1024*8+1024)*4 + (16+16)*4+4 + 64*128*2
+    assert payload == 1 + (1024 * 8 + 1024) * 4 + (16 + 16) * 4 + 4 + 64 * 128 * 2
