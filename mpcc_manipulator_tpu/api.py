@@ -127,10 +127,21 @@ class MPCC:
 
     # -------------------------------------------------- solve
     def runMPC(self, state: np.ndarray, input: np.ndarray,
-               obs_position=np.array([3.0, 3.0, 3.0]), obs_radius: float = 0.0):
+               obs_position=np.array([3.0, 3.0, 3.0]), obs_radius: float = 0.0,
+               profile: bool = False):
         """One control tick; returns
         ``(status_ok, updated_state, u0, horizon, compute_time)`` exactly like
-        the reference wrapper (`MPCC.py:92-114`)."""
+        the reference wrapper (`MPCC.py:92-114`).
+
+        ``profile=False`` (default) runs the fused jitted tick — fastest, and
+        the phase entries of ``compute_time`` are 0.0 because single phases
+        do not exist inside one XLA computation; only ``total`` is measured.
+        ``profile=True`` drives the same tick host-side with per-phase
+        ``block_until_ready`` timing, filling real
+        ``set_env/set_qp/solve_qp/get_alpha`` values (reference
+        `ComputeTime`, `python/MPCC/MPCC.py:108-112`) at the cost of
+        eager-loop overhead.
+        """
         assert self.track_set, "Set Track first!"
         state = np.asarray(state)
         assert state.size == C.NX, f"State size {state.size} != {C.NX}"
@@ -138,21 +149,32 @@ class MPCC:
         u0 = jnp.asarray(input, dtype=self._dtype)
         obs = jnp.asarray(obs_position, dtype=self._dtype)
 
-        t0 = time.perf_counter()
-        self._carry, out = mpc_step(
-            self.track, self.params, self.sel_nn, self.env_nn, self._carry,
-            x0, u0, obs, float(obs_radius), ts=self.Ts, cfg=self.sqp_cfg,
-            exact_heading_jac=self._exact_heading_jac)
-        out.u0.block_until_ready()
-        total = time.perf_counter() - t0
+        if profile:
+            from .solver.sqp_debug import mpc_step_profiled
+            self._carry, out, times = mpc_step_profiled(
+                self.track, self.params, self.sel_nn, self.env_nn,
+                self._carry, x0, u0, obs,
+                jnp.asarray(obs_radius, dtype=self._dtype),
+                ts=self.Ts, cfg=self.sqp_cfg,
+                exact_heading_jac=self._exact_heading_jac)
+            phase = times.as_dict()
+            total = phase.pop("total")
+        else:
+            t0 = time.perf_counter()
+            self._carry, out = mpc_step(
+                self.track, self.params, self.sel_nn, self.env_nn, self._carry,
+                x0, u0, obs, float(obs_radius), ts=self.Ts, cfg=self.sqp_cfg,
+                exact_heading_jac=self._exact_heading_jac)
+            out.u0.block_until_ready()
+            total = time.perf_counter() - t0
+            phase = {"set_qp": 0.0, "solve_qp": 0.0, "get_alpha": 0.0,
+                     "set_env": 0.0}
 
         horizon = [{"state": np.asarray(out.horizon_x[k]),
                     "input": (np.asarray(out.horizon_u[k]) if k < C.N
                               else np.zeros(C.NU))}
                    for k in range(C.N + 1)]
-        compute_time = {"total": total, "set_qp": float("nan"),
-                        "solve_qp": float("nan"), "get_alpha": float("nan"),
-                        "set_env": float("nan"),
+        compute_time = {"total": total, **phase,
                         "sqp_iters": int(out.sqp_iters),
                         "qp_iters": int(out.qp_iters)}
         return (bool(out.ok), np.asarray(out.x0_updated), np.asarray(out.u0),

@@ -9,9 +9,10 @@ provides the active TPU-native kinematics for the 10-DOF chain
 
 with the base modeled as planar prismatic-x / prismatic-y / revolute-z
 (matching the reference's virtual-joint construction) and the Panda chain
-mounted at the base origin.  The full 10-DOF MPCC (state/input dims, stage
-solver blocks) builds on these primitives in a later round; the kinematic
-quantities (FK, 6x10 Jacobian, manipulability) are complete here.
+mounted at the base origin.  The full 10-DOF MPCC built on these primitives
+lives in `system.HUSKY_PANDA` + the shape-generic solver stack and is
+exercised end-to-end by `tests/test_mobile_mpcc.py`; this module provides
+the kinematic quantities (FK, 6x10 Jacobian, manipulability).
 """
 
 from __future__ import annotations

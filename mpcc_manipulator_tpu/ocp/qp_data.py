@@ -62,7 +62,13 @@ _EQ_AXPREV = _block_grid(_EQ_ROW[1:], _X_OFF[:N], NX, NX)
 _EQ_AX = _block_grid(_EQ_ROW, _X_OFF, NX, NX)
 _EQ_BU = _block_grid(_EQ_ROW[1:], _U_OFF, NX, NU)
 
-# Bound rows
+# Bound rows.  NOTE deliberate deviation: the reference writes the
+# input-box Jacobian identity into columns ``NU*i``
+# (`osqp_interface.cpp:273`) — i.e. misaligned into the *state* region of z
+# (stride 8 against the 9-wide x blocks), so its input-bound rows actually
+# constrain a shifting window of state deltas around the value u_i.  That is
+# an indexing bug, not a modeling choice; we place the identity on the input
+# columns (the evident intent, and what the row VALUES u_i/l_u/u_u mean).
 _BX_ROW = np.array([N_EQ + NX * k for k in range(N + 1)])
 _BU_ROW = np.array([N_EQ + NX * (N + 1) + NU * k for k in range(N)])
 _BDDQ_ROW = np.array([N_EQ + NX * (N + 1) + NU * N + NU * k for k in range(N)])

@@ -266,7 +266,9 @@ class SQPConfig:
     # QP solver: "admm" (dense OSQP-style splitting, reference-faithful);
     # "riccati" (structured primal-dual IPM with Riccati inner solves on the
     # packed StageQP rows — ~12 Newton steps vs hundreds of ADMM iterations;
-    # the fastest plain-XLA path; requires the filter line search, no BFGS);
+    # the fastest plain-XLA path; supports do_SOC and both line searches,
+    # but use_BFGS raises — a dense Lagrangian-Hessian carry has no slot in
+    # the stage elimination);
     # "riccati_struct" (same IPM on the structure-exploiting StageQPS —
     # numerically identical steps, the algorithm reference for the kernel);
     # "riccati_pallas" (StageQPS solved by the fused VMEM-resident TPU
