@@ -115,8 +115,13 @@ def ee_position_host(q) -> np.ndarray:
     (~25-35 ms per blocked launch; see docs/ARCHITECTURE.md "remote-TPU
     dispatch gotcha"), so setup-time FK runs on the CPU backend instead.
     ``q`` must be host data (numpy / list), never a TPU-resident array.
+
+    Multi-process note: under `jax.distributed`, ``jax.devices("cpu")[0]``
+    is the GLOBAL first CPU device — non-addressable from every process but
+    0, and fetching the result would fail there.  Always use this process's
+    own device.
     """
-    cpu = jax.devices("cpu")[0]
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         return np.asarray(ee_position(jnp.asarray(np.asarray(q))))
 

@@ -275,6 +275,18 @@ class SQPConfig:
     # kernel — the production TPU path).
     qp_solver: str = "admm"
     ipm_max_iter: int = 25
+    # Fleet mode: replace the data-dependent SQP/IPM while_loops with
+    # FIXED-trip-count fori_loops + per-lane convergence masking (identical
+    # update math; converged lanes freeze).  Rationale: under a sharded
+    # batch the while conditions become batch-GLOBAL convergence votes —
+    # one cross-chip all-reduce per iteration, and the loop runs to the
+    # slowest lane anyway, so early exit saves nothing at fleet scale
+    # while the votes are pure communication overhead (measured: ~50
+    # all-reduces/tick; they dominate cross-process step time on a gloo
+    # cluster).  With fixed trips the compiled sharded program contains
+    # ZERO cross-partition collectives (asserted in tests/test_multihost.py
+    # and tests/test_weak_scaling.py).
+    fleet_mode: bool = False
     # IPM centering scheme: "adaptive" (one Riccati solve/iteration, sigma
     # from achieved step length) or "mehrotra" (predictor-corrector; the
     # corrector reuses the iteration's Riccati factorization).

@@ -181,9 +181,10 @@ def _riccati_solve(qp: StageQP, hbar, gbar, hbar_term, gbar_term):
     return dx_all, dus
 
 
-@partial(jax.jit, static_argnames=("max_iter", "scheme"))
+@partial(jax.jit, static_argnames=("max_iter", "scheme", "fixed_iters"))
 def solve_qp_ipm(qp: StageQP, max_iter: int = 25,
-                 scheme: str = "adaptive") -> IPMSolution:
+                 scheme: str = "adaptive",
+                 fixed_iters: bool = False) -> IPMSolution:
     """Solve the stage-structured QP.  Returns steps in normalized units.
 
     Fully shape-generic: all dims (stage count, augmented-state/input sizes,
@@ -338,9 +339,20 @@ def solve_qp_ipm(qp: StageQP, max_iter: int = 25,
         *_, it, done = carry
         return jnp.logical_and(~done, it < max_iter)
 
-    dx, du, s, lam, _, it, done = jax.lax.while_loop(
-        cond, body, (dx0, du0, s0, lam0, mu0, jnp.asarray(0),
-                     jnp.asarray(False)))
+    init = (dx0, du0, s0, lam0, mu0, jnp.asarray(0), jnp.asarray(False))
+    if fixed_iters:
+        # fixed trip count + per-lane freeze (fleet mode: no batch-global
+        # convergence vote in the compiled sharded program; see
+        # SQPConfig.fleet_mode)
+        def fori_body(_, carry):
+            done_prev = carry[6]
+            new_c = body(carry)
+            return jax.tree.map(lambda o, n: jnp.where(done_prev, o, n),
+                                tuple(carry), tuple(new_c))
+        dx, du, s, lam, _, it, done = jax.lax.fori_loop(
+            0, max_iter, fori_body, init)
+    else:
+        dx, du, s, lam, _, it, done = jax.lax.while_loop(cond, body, init)
 
     # final convergence verdict (excludes lanes stopped by divergence)
     r_fin = row_dot(dx, du) + s - d_eff
@@ -469,9 +481,10 @@ def _riccati_ff_s(qp: StageQPS, fact, gbar, gbar_term):
     return _riccati_forward_s(qp, k_gains, k_ffs)
 
 
-@partial(jax.jit, static_argnames=("max_iter", "scheme"))
+@partial(jax.jit, static_argnames=("max_iter", "scheme", "fixed_iters"))
 def solve_qp_ipm_s(qp: StageQPS, max_iter: int = 25,
-                   scheme: str = "adaptive") -> IPMSolution:
+                   scheme: str = "adaptive",
+                   fixed_iters: bool = False) -> IPMSolution:
     """Structured-representation IPM (see module comment above).
 
     Same algorithm, tolerances, and safeguards as :func:`solve_qp_ipm`;
@@ -667,9 +680,20 @@ def solve_qp_ipm_s(qp: StageQPS, max_iter: int = 25,
         *_, it, done = carry
         return jnp.logical_and(~done, it < max_iter)
 
-    dx, du, s, lam, _, it, done = jax.lax.while_loop(
-        cond, body, (dx0, du0, s0, lam0, mu0, jnp.asarray(0),
-                     jnp.asarray(False)))
+    init = (dx0, du0, s0, lam0, mu0, jnp.asarray(0), jnp.asarray(False))
+    if fixed_iters:
+        # fixed trip count + per-lane freeze (fleet mode: no batch-global
+        # convergence vote in the compiled sharded program; see
+        # SQPConfig.fleet_mode)
+        def fori_body(_, carry):
+            done_prev = carry[6]
+            new_c = body(carry)
+            return jax.tree.map(lambda o, n: jnp.where(done_prev, o, n),
+                                tuple(carry), tuple(new_c))
+        dx, du, s, lam, _, it, done = jax.lax.fori_loop(
+            0, max_iter, fori_body, init)
+    else:
+        dx, du, s, lam, _, it, done = jax.lax.while_loop(cond, body, init)
 
     cz = row_dots(dx, du)
     r_fin = tmap(lambda czg, sg, dg: czg + sg - dg, cz, s, d_all)

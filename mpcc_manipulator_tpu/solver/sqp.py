@@ -232,7 +232,8 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
                        | jnp.any(jnp.isnan(rep.d_xu))
                        | jnp.any(jnp.isnan(rep.d_xl)))
             solve = lambda r: qp_ipm.solve_qp_ipm_s(
-                r, max_iter=cfg.ipm_max_iter, scheme=cfg.ipm_scheme)
+                r, max_iter=cfg.ipm_max_iter, scheme=cfg.ipm_scheme,
+                fixed_iters=cfg.fleet_mode)
         else:
             # packed dense-row layout ("riccati"): the fastest plain-XLA
             # path on TPU (regular einsums; no scatter/gather)
@@ -242,7 +243,8 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
                        | jnp.any(jnp.isnan(rep.c_rows))
                        | jnp.any(jnp.isnan(rep.d_vec)))
             solve = lambda r: qp_ipm.solve_qp_ipm(
-                r, max_iter=cfg.ipm_max_iter, scheme=cfg.ipm_scheme)
+                r, max_iter=cfg.ipm_max_iter, scheme=cfg.ipm_scheme,
+                fixed_iters=cfg.fleet_mode)
 
         sol = solve(rep)
         qp_iters_used = sol.iters
@@ -461,8 +463,21 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         qp_x0 if qp_x0 is not None else jnp.zeros(n_var, dtype=dtype),
         qp_y0 if qp_y0 is not None else jnp.zeros(n_constr, dtype=dtype),
     )
+    if cfg.fleet_mode:
+        # fixed trip count + per-lane freeze: identical math to the while
+        # loop, but the compiled (sharded) program carries no batch-global
+        # convergence vote — zero cross-chip collectives (SQPConfig doc)
+        def fori_body(_, carry):
+            done_prev = carry[12]
+            new = body(carry)
+            return jax.tree.map(
+                lambda o, n: jnp.where(done_prev, o, n), tuple(carry),
+                tuple(new))
+        final = jax.lax.fori_loop(0, cfg.max_iter, fori_body, init)
+    else:
+        final = jax.lax.while_loop(cond, body, init)
     (z, lam, _, _, _, _, _, _, it, status, prim_norm, qp_it, done, qp_x, qp_y) = \
-        jax.lax.while_loop(cond, body, init)
+        final
 
     success = status == Status.SOLVED
     # zero-velocity fallback guess (`osqp_interface.cpp:422-428, 587`)
