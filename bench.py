@@ -108,6 +108,7 @@ def main():
         qp_max_iter=200, qp_check_every=25,
         qp_backend=os.environ.get("MPCC_QP_BACKEND", "xla"),
         mani_grad=os.environ.get("MPCC_MANI_GRAD", "ad"),
+        ipm_scheme=os.environ.get("MPCC_IPM_SCHEME", "mehrotra"),
     )
     ts = 0.01
 

@@ -55,7 +55,8 @@ def main():
     cfg = SQPConfig(max_iter=20,
                     qp_solver=os.environ.get("MPCC_QP_SOLVER", "riccati_pallas"),
                     ipm_max_iter=25,
-                    qp_max_iter=200, qp_check_every=25, mani_grad="ad")
+                    qp_max_iter=200, qp_check_every=25, mani_grad="ad",
+                    ipm_scheme=os.environ.get("MPCC_IPM_SCHEME", "mehrotra"))
     ts = 0.01
 
     rng = np.random.default_rng(0)
@@ -131,7 +132,8 @@ def main():
     def chain_pipm(seed, k):
         def body(i, s):
             st2 = sts_b.replace(gx=sts_b.gx + 1e-20 * s[:, None, None])
-            sol = qp_ipm_pallas._solve_batched(st2, max_iter=25)
+            sol = qp_ipm_pallas._solve_batched(st2, max_iter=25,
+                                               scheme=cfg.ipm_scheme)
             return s + 1e-20 * sol.du[:, 0, 0]
         return jax.lax.fori_loop(0, k, body, seed)
 

@@ -220,7 +220,8 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
                        | jnp.any(jnp.isnan(rep.d_xu))
                        | jnp.any(jnp.isnan(rep.d_xl)))
             solve = lambda r: qp_ipm_pallas.solve_qp_ipm_pallas(
-                r, max_iter=cfg.ipm_max_iter, system=system)
+                r, max_iter=cfg.ipm_max_iter, system=system,
+                scheme=cfg.ipm_scheme)
         elif cfg.qp_solver == "riccati_struct":
             # structure-exploiting representation solved with plain-XLA
             # group ops (the kernel's algorithm reference)

@@ -73,11 +73,14 @@ def test_qpk_repacks_to_qps(qp_batch):
         assert float(jnp.max(jnp.abs(a - b))) < 1e-6, f
 
 
-def test_pallas_ipm_matches_xla_reference(qp_batch):
+@pytest.mark.parametrize("scheme", ["adaptive", "mehrotra"])
+def test_pallas_ipm_matches_xla_reference(qp_batch, scheme):
+    """Both centering schemes: kernel is step-exact vs solve_qp_ipm_s."""
     qp_s, qp_k = qp_batch
     ref = jax.vmap(lambda q: qp_ipm.solve_qp_ipm_s(q, max_iter=25,
-                                                   scheme="adaptive"))(qp_s)
-    sol = qp_ipm_pallas._solve_batched(qp_k, max_iter=25, interpret=True)
+                                                   scheme=scheme))(qp_s)
+    sol = qp_ipm_pallas._solve_batched(qp_k, max_iter=25, interpret=True,
+                                       scheme=scheme)
     np.testing.assert_array_equal(np.asarray(ref.iters),
                                   np.asarray(sol.iters))
     np.testing.assert_array_equal(np.asarray(ref.solved),
