@@ -109,6 +109,10 @@ def main():
         qp_backend=os.environ.get("MPCC_QP_BACKEND", "xla"),
         mani_grad=os.environ.get("MPCC_MANI_GRAD", "ad"),
         ipm_scheme=os.environ.get("MPCC_IPM_SCHEME", "mehrotra"),
+        # cross-tick IPM warm starting (measured: ~2.5x fewer Newton
+        # iterations at steady state, zero failures; MPCC_IPM_WARM=0 for
+        # the cold-start ablation)
+        ipm_warm_start=os.environ.get("MPCC_IPM_WARM", "1") == "1",
     )
     ts = 0.01
 

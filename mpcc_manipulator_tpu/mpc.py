@@ -51,6 +51,11 @@ class MPCCarry:
     num_guess_failed: jnp.ndarray  # int32 consecutive-failure counter
     qp_x: jnp.ndarray              # (n_var,) last QP primal step
     qp_y: jnp.ndarray              # (n_constr,) last QP dual
+    # cross-tick interior-point warm state (riccati paths, packed
+    # (N+1, nc_stage) rows; all-ones = cold).  Consumed only when
+    # SQPConfig.ipm_warm_start is set; reset on guess invalidation.
+    ipm_s: jnp.ndarray
+    ipm_lam: jnp.ndarray
 
 
 @struct.dataclass
@@ -72,6 +77,8 @@ def init_carry(dtype=jnp.float32, system: System = PANDA) -> MPCCarry:
         num_guess_failed=jnp.asarray(0, dtype=jnp.int32),
         qp_x=jnp.zeros(system.n_var, dtype=dtype),
         qp_y=jnp.zeros(system.n_constr, dtype=dtype),
+        ipm_s=jnp.ones((N + 1, system.nc_stage), dtype=dtype),
+        ipm_lam=jnp.ones((N + 1, system.nc_stage), dtype=dtype),
     )
 
 
@@ -146,9 +153,12 @@ def mpc_step(track: TrackSpline, params: MPCCParams, sel_nn: cnn.MLPParams,
     # --- 5. SQP (QP warm start carried across ticks; zeroed on cold start)
     qp_x0 = jnp.where(valid, carry.qp_x, 0.0)
     qp_y0 = jnp.where(valid, carry.qp_y, 0.0)
+    ipm_s0 = jnp.where(valid, carry.ipm_s, 1.0)
+    ipm_lam0 = jnp.where(valid, carry.ipm_lam, 1.0)
     res = sqp_mod.solve_ocp(track, rb, params, cfg, z0, u0, ts,
                             exact_heading_jac=exact_heading_jac,
-                            qp_x0=qp_x0, qp_y0=qp_y0, system=system)
+                            qp_x0=qp_x0, qp_y0=qp_y0,
+                            ipm_s0=ipm_s0, ipm_lam0=ipm_lam0, system=system)
 
     # --- 6. status machine (`mpc.cpp:138-188`)
     solved = res.success
@@ -162,10 +172,16 @@ def mpc_step(track: TrackSpline, params: MPCCParams, sel_nn: cnn.MLPParams,
     xs, us = qp_data.split_z(res.z, system)
     # strong-type the carry leaves: a weak-typed bool here changes the jit
     # cache key on the next tick and silently recompiles the whole step
+    # the ADMM path returns 1x1 IPM placeholders — keep the carry's slots
+    ipm_s_new = (res.ipm_s if res.ipm_s.shape == carry.ipm_s.shape
+                 else carry.ipm_s)
+    ipm_lam_new = (res.ipm_lam if res.ipm_lam.shape == carry.ipm_lam.shape
+                   else carry.ipm_lam)
     new_carry = MPCCarry(z_guess=res.z,
                          valid_guess=valid_next.astype(jnp.bool_),
                          num_guess_failed=n_failed_next,
-                         qp_x=res.qp_x, qp_y=res.qp_y)
+                         qp_x=res.qp_x, qp_y=res.qp_y,
+                         ipm_s=ipm_s_new, ipm_lam=ipm_lam_new)
     out = MPCOutput(u0=us[0], x0_updated=x0_new, horizon_x=xs, horizon_u=us,
                     status=res.status, ok=ok, sqp_iters=res.sqp_iters,
                     qp_iters=res.qp_iters)

@@ -291,6 +291,23 @@ class SQPConfig:
     # from achieved step length) or "mehrotra" (predictor-corrector; the
     # corrector reuses the iteration's Riccati factorization).
     ipm_scheme: str = "adaptive"
+    # Warm-start the interior-point slacks/duals from the previous QP's
+    # solution — across SQP iterations within a tick AND across ticks (the
+    # warm state rides MPCCarry; reset to cold on guess invalidation).
+    # Classic MPC warm starting: the active set barely changes tick-to-tick,
+    # so the IPM starts near the central path and converges in fewer Newton
+    # steps.  Values are clipped to [ipm_warm_clip_lo, ipm_warm_clip_hi]
+    # (safely off the boundary) before seeding.  Speed-only extension —
+    # cold start (False) reproduces the historical/reference-aligned
+    # behavior; riccati-family solvers only.
+    # Clip bounds (0.1, 100): measured to dominate cold start in both mean
+    # AND max Newton iterations (2.45/5 vs cold 5.1/6 on the closed loop) —
+    # the max matters because a batched tile runs to its slowest lane;
+    # looser bounds (1e-2, 1e3) give a better mean (2.08) but a worse tail
+    # (max 9), which LOSES throughput at batch scale.
+    ipm_warm_start: bool = False
+    ipm_warm_clip_lo: float = 0.1
+    ipm_warm_clip_hi: float = 100.0
     # Manipulability gradient: "fd" (central difference, delta=1e-4 —
     # reference-exact, 15 FK sweeps) or "ad" (exact autodiff, ~3x cheaper;
     # differs from fd by O(delta^2) ~ 1e-8).

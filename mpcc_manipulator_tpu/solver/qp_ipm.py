@@ -45,6 +45,11 @@ class IPMSolution:
     iters: jnp.ndarray
     solved: jnp.ndarray
     mu: jnp.ndarray
+    # final interior-point iterates in the packed stage-row layout, for
+    # warm-starting the next solve (rows a solver never touches stay 1.0 —
+    # the cold-start value).  See SQPConfig.ipm_warm_start.
+    s_rows: jnp.ndarray     # (N+1, nc_stage) slacks
+    lam_rows: jnp.ndarray   # (N+1, nc_stage) duals (1.0 on untouched rows)
 
 
 def _stage_split(h, g, nxt):
@@ -184,8 +189,16 @@ def _riccati_solve(qp: StageQP, hbar, gbar, hbar_term, gbar_term):
 @partial(jax.jit, static_argnames=("max_iter", "scheme", "fixed_iters"))
 def solve_qp_ipm(qp: StageQP, max_iter: int = 25,
                  scheme: str = "adaptive",
-                 fixed_iters: bool = False) -> IPMSolution:
+                 fixed_iters: bool = False,
+                 warm_s: jnp.ndarray | None = None,
+                 warm_lam: jnp.ndarray | None = None) -> IPMSolution:
     """Solve the stage-structured QP.  Returns steps in normalized units.
+
+    ``warm_s``/``warm_lam`` optionally seed the interior-point iterates
+    (packed ``(N+1, nc_stage)`` layout, e.g. a previous solve's
+    ``s_rows``/``lam_rows``); ``None`` is the cold start (all ones,
+    bit-identical to the historical behavior).  Callers are responsible
+    for clipping warm values safely off the boundary.
 
     Fully shape-generic: all dims (stage count, augmented-state/input sizes,
     rows per stage) are derived from the ``StageQP`` arrays, so the same
@@ -221,9 +234,13 @@ def solve_qp_ipm(qp: StageQP, max_iter: int = 25,
 
     dx0 = jnp.zeros((n_stages + 1, nxt), dtype=dtype)
     du0 = jnp.zeros((n_stages, nu), dtype=dtype)
-    s0 = jnp.ones((n_stages + 1, nc_stage), dtype=dtype)
-    lam0 = jnp.ones((n_stages + 1, nc_stage), dtype=dtype)
-    mu0 = jnp.asarray(1.0, dtype=dtype)
+    ones_rows = jnp.ones((n_stages + 1, nc_stage), dtype=dtype)
+    # masked rows always start at the cold value (they carry no information)
+    s0 = (ones_rows if warm_s is None
+          else warm_s * qp.mask + (1.0 - qp.mask))
+    lam0 = (ones_rows if warm_lam is None
+            else warm_lam * qp.mask + (1.0 - qp.mask))
+    mu0 = jnp.sum(s0 * lam0 * qp.mask) / jnp.maximum(m_act, 1.0)
 
     # fraction-to-boundary, separate primal/dual step lengths
     def max_alpha(v, dv):
@@ -360,7 +377,9 @@ def solve_qp_ipm(qp: StageQP, max_iter: int = 25,
     solved = jnp.logical_and(mu_fin < 10 * EPS_IPM,
                              jnp.max(jnp.abs(r_fin * qp.mask)) < 1e-3)
     return IPMSolution(dx_tilde=dx, du=du, lam=lam, iters=it, solved=solved,
-                       mu=mu_fin)
+                       mu=mu_fin,
+                       s_rows=s * qp.mask + (1.0 - qp.mask),
+                       lam_rows=lam * qp.mask + (1.0 - qp.mask))
 
 
 # ------------------------------------------------------------------
@@ -484,11 +503,15 @@ def _riccati_ff_s(qp: StageQPS, fact, gbar, gbar_term):
 @partial(jax.jit, static_argnames=("max_iter", "scheme", "fixed_iters"))
 def solve_qp_ipm_s(qp: StageQPS, max_iter: int = 25,
                    scheme: str = "adaptive",
-                   fixed_iters: bool = False) -> IPMSolution:
+                   fixed_iters: bool = False,
+                   warm_s: jnp.ndarray | None = None,
+                   warm_lam: jnp.ndarray | None = None) -> IPMSolution:
     """Structured-representation IPM (see module comment above).
 
     Same algorithm, tolerances, and safeguards as :func:`solve_qp_ipm`;
     O(structure) work per Newton step.  Shape-generic over systems.
+    ``warm_s``/``warm_lam``: packed ``(N+1, nc_stage)`` warm-start iterates
+    (see :func:`solve_qp_ipm`); ``None`` = cold start (all ones).
     """
     dtype = qp.e.dtype
     n_stages = qp.e.shape[0]                 # N
@@ -549,11 +572,23 @@ def solve_qp_ipm_s(qp: StageQPS, max_iter: int = 25,
         return jnp.minimum(1.0, FRAC_TO_BOUNDARY * tmin(tmap(one, v_tree,
                                                              dv_tree)))
 
+    def tree_unpack(rows):
+        """Packed (N+1, nc_stage) -> exact-shape group tree."""
+        o_u = 2 * nx
+        o_r = 2 * nx + 2 * nu
+        o_p = 2 * nx + 2 * nu + 2 * dof
+        return (rows[1:, 0:nx], rows[1:, nx:2 * nx],
+                rows[:n_stages, o_u:o_u + nu],
+                rows[:n_stages, o_u + nu:o_u + 2 * nu],
+                rows[:n_stages, o_r:o_r + dof],
+                rows[:n_stages, o_r + dof:o_r + 2 * dof],
+                rows[:n_stages, o_p:])
+
     dx0 = jnp.zeros((n_stages + 1, nxt), dtype=dtype)
     du0 = jnp.zeros((n_stages, nu), dtype=dtype)
-    s0 = tree_init(1.0)
-    lam0 = tree_init(1.0)
-    mu0 = jnp.asarray(1.0, dtype=dtype)
+    s0 = tree_init(1.0) if warm_s is None else tree_unpack(warm_s)
+    lam0 = tree_init(1.0) if warm_lam is None else tree_unpack(warm_lam)
+    mu0 = tsum(tmap(lambda a, b: a * b, s0, lam0)) / m_act
 
     def body(carry):
         dx, du, s, lam, mu, it, done = carry
@@ -701,18 +736,23 @@ def solve_qp_ipm_s(qp: StageQPS, max_iter: int = 25,
     solved = jnp.logical_and(mu_fin < 10 * EPS_IPM, tmaxabs(r_fin) < 1e-3)
 
     # pack duals into the StageQP row layout (API/diagnostic compat)
-    lam_xu, lam_xl, lam_uu, lam_ul, lam_ru, lam_rl, lam_p = lam
     nc_stage = 2 * nx + 2 * nu + 2 * dof + npc
-    lam_pk = jnp.zeros((n_stages + 1, nc_stage), dtype=dtype)
-    lam_pk = lam_pk.at[1:, 0:nx].set(lam_xu)
-    lam_pk = lam_pk.at[1:, nx:2 * nx].set(lam_xl)
-    o = 2 * nx
-    lam_pk = lam_pk.at[:n_stages, o:o + nu].set(lam_uu)
-    lam_pk = lam_pk.at[:n_stages, o + nu:o + 2 * nu].set(lam_ul)
-    o = 2 * nx + 2 * nu
-    lam_pk = lam_pk.at[:n_stages, o:o + dof].set(lam_ru)
-    lam_pk = lam_pk.at[:n_stages, o + dof:o + 2 * dof].set(lam_rl)
-    o = 2 * nx + 2 * nu + 2 * dof
-    lam_pk = lam_pk.at[:n_stages, o:].set(lam_p)
-    return IPMSolution(dx_tilde=dx, du=du, lam=lam_pk, iters=it,
-                       solved=solved, mu=mu_fin)
+
+    def tree_pack(groups, base):
+        g_xu, g_xl, g_uu, g_ul, g_ru, g_rl, g_p = groups
+        rows = jnp.full((n_stages + 1, nc_stage), base, dtype=dtype)
+        rows = rows.at[1:, 0:nx].set(g_xu)
+        rows = rows.at[1:, nx:2 * nx].set(g_xl)
+        o = 2 * nx
+        rows = rows.at[:n_stages, o:o + nu].set(g_uu)
+        rows = rows.at[:n_stages, o + nu:o + 2 * nu].set(g_ul)
+        o = 2 * nx + 2 * nu
+        rows = rows.at[:n_stages, o:o + dof].set(g_ru)
+        rows = rows.at[:n_stages, o + dof:o + 2 * dof].set(g_rl)
+        o = 2 * nx + 2 * nu + 2 * dof
+        rows = rows.at[:n_stages, o:].set(g_p)
+        return rows
+
+    return IPMSolution(dx_tilde=dx, du=du, lam=tree_pack(lam, 0.0), iters=it,
+                       solved=solved, mu=mu_fin,
+                       s_rows=tree_pack(s, 1.0), lam_rows=tree_pack(lam, 1.0))

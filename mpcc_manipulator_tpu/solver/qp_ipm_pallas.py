@@ -54,8 +54,9 @@ BT = 128          # scenarios per grid step (f32 lane width)
 
 def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
                 e_ref, bd_ref, asv_ref, cpx_ref, cpu_ref, d_ref,
-                tx_ref, tu_ref, tr_ref,
+                tx_ref, tu_ref, tr_ref, s0_ref, lam0_ref,
                 dx_out, du_out, lam_out, iters_out, solved_out, mu_out,
+                s_fin_out,
                 s_scr, lam_scr, r_scr, w_scr, kg_scr, kff_scr, dx_scr, du_scr,
                 *extra_scr, n_st, nx, nu, dof, npc, max_iter,
                 scheme="adaptive"):
@@ -105,9 +106,9 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
         return jnp.concatenate(
             [v_dof, jnp.zeros((nu - dof, BT), dtype=f32)], axis=0)
 
-    # ---- init iterates
-    s_scr[:] = jnp.ones((n_st, nc, BT), dtype=f32)
-    lam_scr[:] = jnp.ones((n_st, nc, BT), dtype=f32)
+    # ---- init iterates (warm-start arrays; all-ones = cold start)
+    s_scr[:] = s0_ref[:]
+    lam_scr[:] = lam0_ref[:]
     dx_scr[:] = jnp.zeros((n_st + 1, nxt, BT), dtype=f32)
     du_scr[:] = jnp.zeros((n_st, nu, BT), dtype=f32)
     iters_out[:] = jnp.zeros((1, BT), dtype=f32)
@@ -463,7 +464,7 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
         it, done, mu = carry
         return jnp.logical_and(it < max_iter, jnp.min(done) < 0.5)
 
-    mu0 = jnp.full((1, BT), 1.0, dtype=f32)
+    mu0 = jnp.sum(s0_ref[:] * lam0_ref[:], axis=(0, 1))[None] / m_act
     jax.lax.while_loop(newton_cond, newton_body,
                        (jnp.asarray(0, jnp.int32),
                         jnp.zeros((1, BT), dtype=f32), mu0))
@@ -478,11 +479,23 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
     dx_out[:] = dx_scr[:]
     du_out[:] = du_scr[:]
     lam_out[:] = lam_scr[:]
+    s_fin_out[:] = sv
     solved_out[:] = jnp.where(solved, 1.0, 0.0)
     mu_out[:] = mu_fin
 
 
-def _pack_inputs(qp: StageQPK, system: System):
+def _rows_to_groups(rows, n_st, nx):
+    """Packed (b, N+1, nc_stage) warm rows -> kernel (b, N, nc) concat order.
+
+    The packed column order past the state box is exactly the kernel's
+    [uu | ul | ru | rl | p] concatenation, so this is two slices + concat.
+    """
+    return jnp.concatenate(
+        [rows[:, 1:, 0:nx], rows[:, 1:, nx:2 * nx], rows[:, :n_st, 2 * nx:]],
+        axis=2)
+
+
+def _pack_inputs(qp: StageQPK, system: System, warm_s, warm_lam):
     """Batched StageQPK (leading axis B) -> kernel input list (batch-last).
 
     StageQPK already stores the exact blocks the kernel reads, so this is
@@ -511,23 +524,38 @@ def _pack_inputs(qp: StageQPK, system: System):
     tx = bl(qp.tx)
     tu = bl(qp.tu)
     tr = bl(qp.t_rate)
+    s0 = bl(_rows_to_groups(warm_s, n_st, nx))
+    lam0 = bl(_rows_to_groups(warm_lam, n_st, nx))
     return [hxx, hux, huu, r2, gx, gu, gxu, e, bd, a_sv, cpx, cpu, d_cat,
-            tx, tu, tr], n_st
+            tx, tu, tr, s0, lam0], n_st
 
 
 @functools.partial(jax.jit,
                    static_argnames=("system", "max_iter", "interpret",
                                     "scheme"))
 def _solve_batched(qp: StageQPK, system: System = PANDA, max_iter: int = 25,
-                   interpret: bool = False, scheme: str = "adaptive"):
-    """Batched solve: StageQPK with leading batch axis -> batched IPMSolution."""
+                   interpret: bool = False, scheme: str = "adaptive",
+                   warm_s: jnp.ndarray | None = None,
+                   warm_lam: jnp.ndarray | None = None):
+    """Batched solve: StageQPK with leading batch axis -> batched IPMSolution.
+
+    ``warm_s``/``warm_lam``: packed (b, N+1, nc_stage) warm-start iterates
+    (see qp_ipm.solve_qp_ipm); ``None`` = cold start (all ones).
+    """
     nx, nu, dof, npc = system.nx, system.nu, system.dof, system.npc
     nxt = nx + nu
     nc = 2 * nx + 2 * nu + 2 * dof + npc
     b = qp.e.shape[0]
+    n_stp1 = qp.e.shape[1] + 1
+    nc_stage = nc
     in_dtype = qp.e.dtype
     qp = jax.tree.map(lambda a: a.astype(jnp.float32), qp)
-    inputs, n_st = _pack_inputs(qp, system)
+    if warm_s is None:
+        warm_s = jnp.ones((b, n_stp1, nc_stage), dtype=jnp.float32)
+    if warm_lam is None:
+        warm_lam = jnp.ones((b, n_stp1, nc_stage), dtype=jnp.float32)
+    inputs, n_st = _pack_inputs(qp, system, warm_s.astype(jnp.float32),
+                                warm_lam.astype(jnp.float32))
 
     # pad the batch (lanes) to a BT multiple with copies of scenario 0
     b_pad = ((b + BT - 1) // BT) * BT
@@ -555,6 +583,7 @@ def _solve_batched(qp: StageQPK, system: System = PANDA, max_iter: int = 25,
         jax.ShapeDtypeStruct((1, b_pad), jnp.float32),              # iters
         jax.ShapeDtypeStruct((1, b_pad), jnp.float32),              # solved
         jax.ShapeDtypeStruct((1, b_pad), jnp.float32),              # mu
+        jax.ShapeDtypeStruct((n_st, nc, b_pad), jnp.float32),       # s final
     ]
     out_specs = [spec(jnp.zeros(s.shape)) for s in out_shapes]
 
@@ -575,7 +604,7 @@ def _solve_batched(qp: StageQPK, system: System = PANDA, max_iter: int = 25,
             pltpu.VMEM((n_st, nu * nu, BT), jnp.float32),   # Cholesky factors
         ]
 
-    dx, du, lam_cat, iters, solved, mu = pl.pallas_call(
+    dx, du, lam_cat, iters, solved, mu, s_cat = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[spec(a) for a in inputs],
@@ -594,17 +623,22 @@ def _solve_batched(qp: StageQPK, system: System = PANDA, max_iter: int = 25,
     dx = jnp.moveaxis(dx, -1, 0)[:b].astype(in_dtype)
     du = jnp.moveaxis(du, -1, 0)[:b].astype(in_dtype)
     lam_cat = jnp.moveaxis(lam_cat, -1, 0)[:b].astype(in_dtype)
+    s_cat = jnp.moveaxis(s_cat, -1, 0)[:b].astype(in_dtype)
     iters = iters[0, :b].astype(jnp.int32)
     solved = solved[0, :b] > 0.5
     mu = mu[0, :b].astype(in_dtype)
 
-    # scatter group duals into the packed StageQP row layout
-    nc_stage = nc
-    lam_pk = jnp.zeros((b, n_st + 1, nc_stage), dtype=in_dtype)
-    lam_pk = lam_pk.at[:, 1:, 0:2 * nx].set(lam_cat[:, :, 0:2 * nx])
-    lam_pk = lam_pk.at[:, :n_st, 2 * nx:].set(lam_cat[:, :, 2 * nx:])
-    return IPMSolution(dx_tilde=dx, du=du, lam=lam_pk, iters=iters,
-                       solved=solved, mu=mu)
+    # scatter group rows into the packed StageQP row layout
+    def groups_to_rows(cat, base):
+        rows = jnp.full((b, n_st + 1, nc), base, dtype=in_dtype)
+        rows = rows.at[:, 1:, 0:2 * nx].set(cat[:, :, 0:2 * nx])
+        rows = rows.at[:, :n_st, 2 * nx:].set(cat[:, :, 2 * nx:])
+        return rows
+
+    return IPMSolution(dx_tilde=dx, du=du, lam=groups_to_rows(lam_cat, 0.0),
+                       iters=iters, solved=solved, mu=mu,
+                       s_rows=groups_to_rows(s_cat, 1.0),
+                       lam_rows=groups_to_rows(lam_cat, 1.0))
 
 
 _SOLVER_CACHE: dict = {}
@@ -618,22 +652,24 @@ def make_pallas_ipm(system: System = PANDA, max_iter: int = 25,
         return _SOLVER_CACHE[key]
 
     @jax.custom_batching.custom_vmap
-    def solve(qp: StageQPK) -> IPMSolution:
+    def solve(qp: StageQPK, warm_s, warm_lam) -> IPMSolution:
         # unbatched call: run the batched kernel with B = 1 (127 idle lanes;
         # still one launch and VMEM-resident — fast in absolute terms)
         qp1 = jax.tree.map(lambda a: a[None], qp)
         sol = _solve_batched(qp1, system=system, max_iter=max_iter,
-                             interpret=interpret, scheme=scheme)
+                             interpret=interpret, scheme=scheme,
+                             warm_s=warm_s[None], warm_lam=warm_lam[None])
         return jax.tree.map(lambda a: a[0], sol)
 
     @solve.def_vmap
-    def _vmap_rule(axis_size, in_batched, qp):
-        qp_b = jax.tree.map(
-            lambda a, isb: a if isb else jnp.broadcast_to(
-                a[None], (axis_size,) + a.shape),
-            qp, in_batched[0])
+    def _vmap_rule(axis_size, in_batched, qp, warm_s, warm_lam):
+        bc = lambda a, isb: a if isb else jnp.broadcast_to(
+            a[None], (axis_size,) + a.shape)
+        qp_b = jax.tree.map(bc, qp, in_batched[0])
         sol = _solve_batched(qp_b, system=system, max_iter=max_iter,
-                             interpret=interpret, scheme=scheme)
+                             interpret=interpret, scheme=scheme,
+                             warm_s=bc(warm_s, in_batched[1]),
+                             warm_lam=bc(warm_lam, in_batched[2]))
         return sol, jax.tree.map(lambda _: True, sol)
 
     _SOLVER_CACHE[key] = solve
@@ -643,7 +679,9 @@ def make_pallas_ipm(system: System = PANDA, max_iter: int = 25,
 def solve_qp_ipm_pallas(qp: StageQPK, max_iter: int = 25,
                         system: System = PANDA,
                         interpret: bool | None = None,
-                        scheme: str = "adaptive") -> IPMSolution:
+                        scheme: str = "adaptive",
+                        warm_s: jnp.ndarray | None = None,
+                        warm_lam: jnp.ndarray | None = None) -> IPMSolution:
     """Drop-in for `solve_qp_ipm_s(scheme=...)` on the TPU kernel.
 
     ``interpret=None`` auto-selects: compiled on TPU backends, the Pallas
@@ -656,4 +694,11 @@ def solve_qp_ipm_pallas(qp: StageQPK, max_iter: int = 25,
     if interpret is None:
         # "axon" is this environment's tunneled-TPU PJRT platform name
         interpret = jax.default_backend() not in ("tpu", "axon")
-    return make_pallas_ipm(system, max_iter, interpret, scheme)(qp)
+    n_stp1 = qp.e.shape[0] + 1
+    nc = 2 * system.nx + 2 * system.nu + 2 * system.dof + system.npc
+    if warm_s is None:
+        warm_s = jnp.ones((n_stp1, nc), dtype=jnp.float32)
+    if warm_lam is None:
+        warm_lam = jnp.ones((n_stp1, nc), dtype=jnp.float32)
+    return make_pallas_ipm(system, max_iter, interpret, scheme)(
+        qp, warm_s, warm_lam)

@@ -61,6 +61,8 @@ class SQPResult:
     success: jnp.ndarray      # status == SOLVED
     qp_x: jnp.ndarray         # last QP primal (for cross-tick warm starts)
     qp_y: jnp.ndarray         # last QP dual
+    ipm_s: jnp.ndarray        # last IPM slacks, packed rows (riccati paths)
+    ipm_lam: jnp.ndarray      # last IPM duals, packed rows
 
 
 def constraint_norm(constr, l, u):
@@ -162,12 +164,16 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
               exact_heading_jac: bool = False,
               qp_x0: jnp.ndarray | None = None,
               qp_y0: jnp.ndarray | None = None,
+              ipm_s0: jnp.ndarray | None = None,
+              ipm_lam0: jnp.ndarray | None = None,
               system: System = PANDA) -> SQPResult:
     """Run the full SQP loop from warm-start iterate ``z0``.
 
     ``qp_x0``/``qp_y0`` optionally seed the first QP's ADMM warm start
     (cross-tick warm starting); zeros reproduce the cold-start reference
-    behavior."""
+    behavior.  ``ipm_s0``/``ipm_lam0`` are the riccati-family analog:
+    packed (N+1, nc_stage) interior-point iterates consumed only when
+    ``cfg.ipm_warm_start`` is set (ones = cold)."""
     if system.name != "panda" and cfg.qp_solver == "admm":
         raise ValueError(
             "the dense ADMM backend is Panda-only (OSQP-conformance path); "
@@ -193,7 +199,8 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
                                 exact_heading_jac)
 
     def _riccati_body(z, lam, f_obj, f_vio, f_cnt, hess_carry, grad_l,
-                      step_prev, it, status, prim_norm, qp_it, done, qp_x, qp_y):
+                      step_prev, it, status, prim_norm, qp_it, done, qp_x, qp_y,
+                      ipm_s, ipm_lam):
         """SQP iteration with the structured Riccati/IPM backend.
 
         Skips the dense assembly entirely; the per-stage R-bar Cholesky
@@ -207,6 +214,15 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         from ..ocp import qp_stages as qps
         from . import qp_ipm
 
+        if cfg.ipm_warm_start:
+            # seed the interior point from the previous QP's iterates,
+            # clipped safely off the boundary (SQPConfig.ipm_warm_start)
+            clip = lambda a: jnp.clip(a, cfg.ipm_warm_clip_lo,
+                                      cfg.ipm_warm_clip_hi)
+            ws, wl = clip(ipm_s), clip(ipm_lam)
+        else:
+            ws = wl = None
+
         if cfg.qp_solver == "riccati_pallas":
             # kernel-direct block assembly (no stage-matrix packing — the
             # .at-chain packing costs ~2x the whole QP solve at batch scale)
@@ -219,9 +235,10 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
                        | jnp.any(jnp.isnan(rep.d_p))
                        | jnp.any(jnp.isnan(rep.d_xu))
                        | jnp.any(jnp.isnan(rep.d_xl)))
-            solve = lambda r: qp_ipm_pallas.solve_qp_ipm_pallas(
-                r, max_iter=cfg.ipm_max_iter, system=system,
-                scheme=cfg.ipm_scheme)
+            solve = lambda r, w_s=None, w_l=None: \
+                qp_ipm_pallas.solve_qp_ipm_pallas(
+                    r, max_iter=cfg.ipm_max_iter, system=system,
+                    scheme=cfg.ipm_scheme, warm_s=w_s, warm_lam=w_l)
         elif cfg.qp_solver == "riccati_struct":
             # structure-exploiting representation solved with plain-XLA
             # group ops (the kernel's algorithm reference)
@@ -232,9 +249,9 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
                        | jnp.any(jnp.isnan(rep.d_p))
                        | jnp.any(jnp.isnan(rep.d_xu))
                        | jnp.any(jnp.isnan(rep.d_xl)))
-            solve = lambda r: qp_ipm.solve_qp_ipm_s(
+            solve = lambda r, w_s=None, w_l=None: qp_ipm.solve_qp_ipm_s(
                 r, max_iter=cfg.ipm_max_iter, scheme=cfg.ipm_scheme,
-                fixed_iters=cfg.fleet_mode)
+                fixed_iters=cfg.fleet_mode, warm_s=w_s, warm_lam=w_l)
         else:
             # packed dense-row layout ("riccati"): the fastest plain-XLA
             # path on TPU (regular einsums; no scatter/gather)
@@ -243,20 +260,32 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
             has_nan = (jnp.any(jnp.isnan(rep.h)) | jnp.any(jnp.isnan(rep.g))
                        | jnp.any(jnp.isnan(rep.c_rows))
                        | jnp.any(jnp.isnan(rep.d_vec)))
-            solve = lambda r: qp_ipm.solve_qp_ipm(
+            solve = lambda r, w_s=None, w_l=None: qp_ipm.solve_qp_ipm(
                 r, max_iter=cfg.ipm_max_iter, scheme=cfg.ipm_scheme,
-                fixed_iters=cfg.fleet_mode)
+                fixed_iters=cfg.fleet_mode, warm_s=w_s, warm_lam=w_l)
 
-        sol = solve(rep)
+        sol = solve(rep, ws, wl)
         qp_iters_used = sol.iters
 
         if cfg.do_SOC:
             # second-order correction: re-solve against the corrected
-            # offsets, replacing the step (`osqp_interface.cpp:506-516`)
+            # offsets, replacing the step (`osqp_interface.cpp:506-516`);
+            # warm-started from the first solve's iterates when enabled
             rep_soc = _soc_corrected_rep(rep, sol, z, track.length, params,
                                          cfg.qp_solver, system)
-            sol = solve(rep_soc)
+            if cfg.ipm_warm_start:
+                sol = solve(rep_soc, clip(sol.s_rows), clip(sol.lam_rows))
+            else:
+                sol = solve(rep_soc)
             qp_iters_used = qp_iters_used + sol.iters
+
+        if cfg.ipm_warm_start:
+            # carry the iterates forward (next SQP iteration / next tick);
+            # frozen on guard failure (the rows would be garbage)
+            fail_now = (jnp.any(jnp.isnan(sol.s_rows))
+                        | jnp.any(jnp.isnan(sol.lam_rows)))
+            ipm_s = jnp.where(fail_now, ipm_s, sol.s_rows)
+            ipm_lam = jnp.where(fail_now, ipm_lam, sol.lam_rows)
 
         step = qps.stage_step_to_dense(sol.dx_tilde, sol.du, system)
         step_nan = jnp.any(jnp.isnan(step))
@@ -311,7 +340,7 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         done_new = jnp.logical_or(guard_fail, converged)
         return (z_out, lam, f_obj, f_vio, f_cnt, hess_carry, grad_l,
                 alpha * step, it + 1, status_new, prim_norm_new,
-                qp_it + qp_iters_used, done_new, qp_x, qp_y)
+                qp_it + qp_iters_used, done_new, qp_x, qp_y, ipm_s, ipm_lam)
 
     def eval_point(z):
         obj = qp_data.total_objective(track, z, rb, params, exact_heading_jac,
@@ -322,17 +351,17 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
 
     def cond(carry):
         (z, lam, f_obj, f_vio, f_cnt, hess, grad_l, step_prev, it, status,
-         prim_norm, qp_it, done, qp_x, qp_y) = carry
+         prim_norm, qp_it, done, qp_x, qp_y, ipm_s, ipm_lam) = carry
         return jnp.logical_and(~done, it < cfg.max_iter)
 
     def body(carry):
         (z, lam, f_obj, f_vio, f_cnt, hess_carry, grad_l, step_prev, it, status,
-         prim_norm, qp_it, done, qp_x, qp_y) = carry
+         prim_norm, qp_it, done, qp_x, qp_y, ipm_s, ipm_lam) = carry
 
         if cfg.qp_solver.startswith("riccati"):
             return _riccati_body(z, lam, f_obj, f_vio, f_cnt, hess_carry,
                                  grad_l, step_prev, it, status, prim_norm,
-                                 qp_it, done, qp_x, qp_y)
+                                 qp_it, done, qp_x, qp_y, ipm_s, ipm_lam)
 
         p_mat, qvec, a_mat, lvec, uvec, obj, constr = qp_at(z)
 
@@ -442,11 +471,20 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
 
         return (z_out, lam_out, f_obj, f_vio, f_cnt, hess, grad_l, step_prev_new,
                 it + 1, status_new, prim_norm_new, qp_it + qp_sol.iters, done_new,
-                qp_sol.x, qp_sol.y)
+                qp_sol.x, qp_sol.y, ipm_s, ipm_lam)
 
     # the dense Hessian/BFGS carry is only consumed by the ADMM path; the
     # Riccati path carries 1x1 placeholders so its loop state stays small
-    hess_dim = 1 if cfg.qp_solver.startswith("riccati") else n_var
+    riccati = cfg.qp_solver.startswith("riccati")
+    hess_dim = 1 if riccati else n_var
+    # IPM warm-state slots (riccati paths; 1x1 placeholders on ADMM)
+    if riccati:
+        nc_stage = system.nc_stage
+        ipm_ones = jnp.ones((N + 1, nc_stage), dtype=dtype)
+        ipm_s_init = ipm_s0 if ipm_s0 is not None else ipm_ones
+        ipm_lam_init = ipm_lam0 if ipm_lam0 is not None else ipm_ones
+    else:
+        ipm_s_init = ipm_lam_init = jnp.ones((1, 1), dtype=dtype)
     init = (
         z0,
         jnp.zeros(n_constr, dtype=dtype),
@@ -463,6 +501,8 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         jnp.asarray(False),
         qp_x0 if qp_x0 is not None else jnp.zeros(n_var, dtype=dtype),
         qp_y0 if qp_y0 is not None else jnp.zeros(n_constr, dtype=dtype),
+        ipm_s_init,
+        ipm_lam_init,
     )
     if cfg.fleet_mode:
         # fixed trip count + per-lane freeze: identical math to the while
@@ -477,8 +517,8 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         final = jax.lax.fori_loop(0, cfg.max_iter, fori_body, init)
     else:
         final = jax.lax.while_loop(cond, body, init)
-    (z, lam, _, _, _, _, _, _, it, status, prim_norm, qp_it, done, qp_x, qp_y) = \
-        final
+    (z, lam, _, _, _, _, _, _, it, status, prim_norm, qp_it, done, qp_x, qp_y,
+     ipm_s, ipm_lam) = final
 
     success = status == Status.SOLVED
     # zero-velocity fallback guess (`osqp_interface.cpp:422-428, 587`)
@@ -488,4 +528,4 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
 
     return SQPResult(z=z_final, lam=lam, status=status, sqp_iters=it,
                      qp_iters=qp_it, primal_step_norm=prim_norm, success=success,
-                     qp_x=qp_x, qp_y=qp_y)
+                     qp_x=qp_x, qp_y=qp_y, ipm_s=ipm_s, ipm_lam=ipm_lam)

@@ -331,7 +331,8 @@ def mpc_step_profiled(track, params, sel_nn, env_nn, carry, x0, u0, obs_pos,
     new_carry = mpc_mod.MPCCarry(
         z_guess=z, valid_guess=jnp.asarray(solved),
         num_guess_failed=jnp.asarray(n_failed_next, dtype=jnp.int32),
-        qp_x=carry.qp_x, qp_y=carry.qp_y)
+        qp_x=carry.qp_x, qp_y=carry.qp_y,
+        ipm_s=carry.ipm_s, ipm_lam=carry.ipm_lam)
     out = mpc_mod.MPCOutput(
         u0=us[0], x0_updated=x0_new, horizon_x=xs, horizon_u=us,
         status=jnp.asarray(status), ok=jnp.asarray(ok),

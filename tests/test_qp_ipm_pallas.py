@@ -98,7 +98,8 @@ def test_pallas_ipm_matches_xla_reference(qp_batch, scheme):
 def test_pallas_ipm_custom_vmap_dispatch(qp_batch):
     """vmap of the public entry dispatches one lane-batched kernel call."""
     _, qp_k = qp_batch
-    solve = qp_ipm_pallas.make_pallas_ipm(max_iter=25, interpret=True)
+    solve = lambda q: qp_ipm_pallas.solve_qp_ipm_pallas(q, max_iter=25,
+                                                        interpret=True)
     sol_v = jax.vmap(solve)(qp_k)
     sol_b = qp_ipm_pallas._solve_batched(qp_k, max_iter=25,
                                          interpret=True)
@@ -107,3 +108,21 @@ def test_pallas_ipm_custom_vmap_dispatch(qp_batch):
     one = jax.tree.map(lambda a: a[0], qp_k)
     sol_1 = solve(one)
     assert float(jnp.max(jnp.abs(sol_1.du - sol_b.du[0]))) < 1e-6
+
+
+def test_pallas_ipm_warm_start_matches_xla(qp_batch):
+    """Warm-started solves agree kernel-vs-XLA and converge in fewer
+    iterations than cold when seeded from a previous solution."""
+    qp_s, qp_k = qp_batch
+    cold_s = jax.vmap(lambda q: qp_ipm.solve_qp_ipm_s(q, max_iter=25))(qp_s)
+    ws = jnp.clip(cold_s.s_rows, 1e-2, 1e3)
+    wl = jnp.clip(cold_s.lam_rows, 1e-2, 1e3)
+    ref = jax.vmap(lambda q, a, b: qp_ipm.solve_qp_ipm_s(
+        q, max_iter=25, warm_s=a, warm_lam=b))(qp_s, ws, wl)
+    sol = qp_ipm_pallas._solve_batched(qp_k, max_iter=25, interpret=True,
+                                       warm_s=ws, warm_lam=wl)
+    np.testing.assert_array_equal(np.asarray(ref.iters), np.asarray(sol.iters))
+    assert bool(jnp.all(ref.solved)) and bool(jnp.all(sol.solved))
+    assert float(jnp.max(jnp.abs(ref.du - sol.du))) < 1e-4
+    # seeding from the solution must beat the cold iteration count
+    assert int(jnp.max(ref.iters)) < int(jnp.max(cold_s.iters))
