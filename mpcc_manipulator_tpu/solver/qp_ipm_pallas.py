@@ -27,8 +27,14 @@ Layout notes:
     blowup that per-matrix 4-D refs would cause;
   * values are reshaped to (d1, d2, B) inside the kernel where convenient
     (transient register relayouts, not resident memory);
-  * contractions over tiny dims are unrolled Python loops of broadcast
-    FMAs — lane-parallel VPU work, no MXU-shape constraints.
+  * contractions over tiny dims: VECTOR-shaped ones (m_vec, ru_bar,
+    rollout, C z rows, gradient rows) are single multiply+reduce ops —
+    measured +9% tick throughput over unrolled FMAs; MATRIX-shaped ones
+    (C'WC, bt'P at, P-update) stay unrolled rank-1 FMA loops — their
+    rank-4 reduce temporaries cost more VMEM bandwidth than the saved
+    instruction issues (measured 3% SLOWER as reductions).  Mosaic gotcha:
+    `a[:k, None]` (partial slice + newaxis in one getitem) lowers to a
+    >2D gather Mosaic rejects — always slice first, then expand.
 
 The public entry `solve_qp_ipm_pallas` is a `custom_vmap`: vmapping it over
 scenarios dispatches one batched kernel call (batch in lanes) instead of
@@ -120,13 +126,10 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
         cz_x = tx[None] * dxv[1:, :nx]
         cz_u = tu[None] * duv
         cz_r = tr[None] * (duv[:, :dof] - dxv[:n_st, nx:nx + dof])
-        cz_p = jnp.zeros((n_st, npc, BT), dtype=f32)
         cpxv = cpx_ref[:].reshape(n_st, npc, nx, BT)
         cpuv = cpu_ref[:].reshape(n_st, npc, nu, BT)
-        for z in range(nx):
-            cz_p += cpxv[:, :, z] * dxv[:n_st, z][:, None]
-        for z in range(nu):
-            cz_p += cpuv[:, :, z] * duv[:, z][:, None]
+        cz_p = (jnp.sum(cpxv * dxv[:n_st, :nx][:, None], axis=2)
+                + jnp.sum(cpuv * duv[:, None], axis=2))
         return jnp.concatenate([cz_x, -cz_x, cz_u, -cz_u, cz_r, -cz_r, cz_p],
                                axis=1)
 
@@ -202,9 +205,9 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
         gq_v = gxu_ref[k] - g_rr                             # (dof, B)
         gu_k = (gu_ref[k] + tu * (rk[o_uu:o_uu + nu] - rk[o_ul:o_ul + nu])
                 + pad_u(g_rr))
-        for r in range(npc):
-            gq_x = gq_x + cpxk[r] * rk[o_p + r][None]
-            gu_k = gu_k + cpuk[r] * rk[o_p + r][None]
+        rk_p = rk[o_p:o_p + npc]                             # (npc, B)
+        gq_x = gq_x + jnp.sum(cpxk * rk_p[:, None], axis=0)
+        gu_k = gu_k + jnp.sum(cpuk * rk_p[:, None], axis=0)
         gq = jnp.concatenate([gq_x, pad_u(gq_v)], axis=0)    # (nxt, B)
         return gq, gu_k
 
@@ -239,16 +242,13 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
     def riccati_vector(p_mat_x, p_vec, gq, gu_k, k):
         """One vector Riccati step against P_{k+1}'s x-columns (nxt, nx, B)."""
         e_k = e_ref[k]                                       # (nx, B)
-        m_vec = p_vec
-        for i2 in range(nx):
-            m_vec = m_vec + p_mat_x[:, i2] * e_k[i2][None]
+        m_vec = p_vec + jnp.sum(p_mat_x * e_k[None], axis=1)
         qx_bar = (gq
                   + jnp.concatenate(
                       [m_vec[:nx], jnp.zeros((nu, BT), f32)], axis=0)
                   + oh_vs_xt * (a_sv[0] * m_vec[s_idx])[None])
-        ru_bar = gu_k + m_vec[nx:]
-        for i2 in range(nx):
-            ru_bar = ru_bar + bd[i2] * m_vec[i2][None]
+        ru_bar = (gu_k + m_vec[nx:]
+                  + jnp.sum(bd * m_vec[:nx][:, None], axis=0))
         return qx_bar, ru_bar
 
     def rollout_and_targets():
@@ -260,14 +260,11 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
         dxk = dx_list[0]
         for k in range(n_st):
             kg = kg_scr[k].reshape(nu, nxt, BT)
-            du_k = kff_scr[k]
-            for j in range(nxt):
-                du_k = du_k + kg[:, j] * dxk[j][None]
+            du_k = kff_scr[k] + jnp.sum(kg * dxk[None], axis=1)
             x_next = (dxk[:nx]
-                      + oh_s_row * (a_sv[0] * dxk[vs_idx])[None])
-            for u2 in range(nu):
-                x_next = x_next + bd[:, u2] * du_k[u2][None]
-            x_next = x_next + e_ref[k]
+                      + oh_s_row * (a_sv[0] * dxk[vs_idx])[None]
+                      + jnp.sum(bd * du_k[None], axis=1)
+                      + e_ref[k])
             kff_scr[k] = du_k            # du target (reuses k_ff slot)
             dxk = jnp.concatenate([x_next, du_k], axis=0)
             dx_list.append(dxk)
@@ -277,13 +274,10 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
         cz_x = tx[None] * dx_t[1:, :nx]
         cz_u = tu[None] * du_t
         cz_r = tr[None] * (du_t[:, :dof] - dx_t[:n_st, nx:nx + dof])
-        cz_p = jnp.zeros((n_st, npc, BT), dtype=f32)
         cpxv = cpx_ref[:].reshape(n_st, npc, nx, BT)
         cpuv = cpu_ref[:].reshape(n_st, npc, nu, BT)
-        for z in range(nx):
-            cz_p += cpxv[:, :, z] * dx_t[:n_st, z][:, None]
-        for z in range(nu):
-            cz_p += cpuv[:, :, z] * du_t[:, z][:, None]
+        cz_p = (jnp.sum(cpxv * dx_t[:n_st, :nx][:, None], axis=2)
+                + jnp.sum(cpuv * du_t[:, None], axis=2))
         cz_t = jnp.concatenate([cz_x, -cz_x, cz_u, -cz_u, cz_r, -cz_r, cz_p],
                                axis=1)
         return dx_t, du_t, cz_t
@@ -396,9 +390,8 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
                         p_mat_x, p_vec, gq, gu_k, k)
                     k_ff = -cho_solve8(lmat, ru_bar[:, None])[:, 0]
                     kff_scr[k] = k_ff
-                    p_vec_new = qx_bar
-                    for m2 in range(nu):
-                        p_vec_new = p_vec_new + s_bar[m2] * k_ff[m2][None]
+                    p_vec_new = qx_bar + jnp.sum(s_bar * k_ff[:, None],
+                                                 axis=0)
                     return p_vec_new
 
                 jax.lax.fori_loop(0, n_st, bwd_v, pv0, unroll=False)
