@@ -107,7 +107,7 @@ def main():
         ipm_max_iter=25,
         qp_max_iter=200, qp_check_every=25,
         qp_backend=os.environ.get("MPCC_QP_BACKEND", "xla"),
-        mani_grad=os.environ.get("MPCC_MANI_GRAD", "ad"),
+        mani_grad=os.environ.get("MPCC_MANI_GRAD", "analytic"),
         ipm_scheme=os.environ.get("MPCC_IPM_SCHEME", "mehrotra"),
         # cross-tick IPM warm starting (measured: ~2.5x fewer Newton
         # iterations at steady state, zero failures; MPCC_IPM_WARM=0 for

@@ -55,7 +55,7 @@ def main():
     cfg = SQPConfig(max_iter=20,
                     qp_solver=os.environ.get("MPCC_QP_SOLVER", "riccati_pallas"),
                     ipm_max_iter=25,
-                    qp_max_iter=200, qp_check_every=25, mani_grad="ad",
+                    qp_max_iter=200, qp_check_every=25, mani_grad="analytic",
                     ipm_scheme=os.environ.get("MPCC_IPM_SCHEME", "mehrotra"))
     ts = 0.01
 

@@ -73,9 +73,14 @@ def _single_knot(q, obs_pos, sel_nn: cnn.MLPParams, env_nn: cnn.MLPParams,
     p_ee, r_ee, origins, axes = kin.fk_chain(q)
     jv = jnp.cross(axes, p_ee[None, :] - origins).T
     jw = axes.T
-    manipul = kin.manipulability(q)
-    d_manipul = (kin.manipulability_gradient_fd(q) if mani_grad == "fd"
-                 else kin.manipulability_gradient_ad(q))
+    if mani_grad == "analytic":
+        # closed-form dm/dq sharing this FK pass (exact; == AD to roundoff)
+        manipul, d_manipul = kin.manipulability_and_grad_from_frames(
+            p_ee, origins, axes)
+    else:
+        manipul = kin.manipulability(q)
+        d_manipul = (kin.manipulability_gradient_fd(q) if mani_grad == "fd"
+                     else kin.manipulability_gradient_ad(q))
     sel, d_sel = cnn.mlp_forward_jacobian(sel_nn, q)
     env_in = jnp.concatenate([q, obs_pos])
     env, d_env_full = cnn.mlp_forward_jacobian(env_nn, env_in)

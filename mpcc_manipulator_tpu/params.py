@@ -309,8 +309,11 @@ class SQPConfig:
     ipm_warm_clip_lo: float = 0.1
     ipm_warm_clip_hi: float = 100.0
     # Manipulability gradient: "fd" (central difference, delta=1e-4 —
-    # reference-exact, 15 FK sweeps) or "ad" (exact autodiff, ~3x cheaper;
-    # differs from fd by O(delta^2) ~ 1e-8).
+    # reference-exact, 15 FK sweeps), "ad" (exact autodiff, ~3x cheaper;
+    # differs from fd by O(delta^2) ~ 1e-8), or "analytic" (closed-form
+    # dJ/dq cross-product tensor + one 6x6 Cholesky solve, sharing
+    # RobotData's FK pass — equals "ad" to roundoff at a fraction of the
+    # cost; the production default in bench.py).
     mani_grad: str = "fd"
 
 

@@ -81,3 +81,19 @@ def test_vmap_batching():
     ps = jax.vmap(K.ee_position)(qs)
     js = jax.vmap(K.ee_jacobian)(qs)
     assert ps.shape == (16, 3) and js.shape == (16, 6, 7)
+
+
+def test_manipulability_analytic_gradient_matches_ad_and_fd():
+    """Closed-form dJ/dq manipulability gradient (mani_grad="analytic"):
+    equals the AD gradient to roundoff and the reference FD to O(delta^2)."""
+    rng = np.random.default_rng(7)
+    for _ in range(6):
+        q = jnp.asarray(rng.uniform(-2.0, 2.0, 7))
+        m_a, dm_a = K.manipulability_and_grad_analytic(q)
+        assert float(jnp.abs(m_a - K.manipulability(q))) < 1e-12
+        dm_ad = K.manipulability_gradient_ad(q)
+        np.testing.assert_allclose(np.asarray(dm_a), np.asarray(dm_ad),
+                                   atol=1e-10)
+        dm_fd = K.manipulability_gradient_fd(q)
+        np.testing.assert_allclose(np.asarray(dm_a), np.asarray(dm_fd),
+                                   atol=1e-6)
