@@ -13,6 +13,7 @@ These tests pin the round-3 contract:
     ignored (structurally incompatible with stage elimination).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -152,18 +153,21 @@ def test_ipm_warm_start_fewer_iters_same_trajectory(problem):
     obs = jnp.asarray([3.0, 3.0, 3.0], dtype=x0.dtype)
 
     def roll(cfg, n_steps=25):
-        carry = init_carry(x0.dtype)
-        x, u = x0, jnp.zeros(NU, dtype=x0.dtype)
-        traj, iters = [], []
-        for _ in range(n_steps):
-            carry, out = mpc_step(track, params, sel_nn, env_nn, carry, x, u,
-                                  obs, 0.0, ts=TS, cfg=cfg)
-            assert bool(out.ok), int(out.status)
-            u = out.u0
-            x = dyn.sim_time_step(out.x0_updated, u, TS)
-            traj.append(np.asarray(x))
-            iters.append(int(out.qp_iters) / max(int(out.sqp_iters), 1))
-        return np.stack(traj), np.asarray(iters)
+        # one device-side scan per config (a host-driven dispatch loop here
+        # segfaulted CPU XLA under full-suite memory pressure)
+        def step(c, _):
+            carry, x, u = c
+            carry2, out = mpc_step(track, params, sel_nn, env_nn, carry, x, u,
+                                   obs, 0.0, ts=TS, cfg=cfg)
+            x2 = dyn.sim_time_step(out.x0_updated, out.u0, TS)
+            return ((carry2, x2, out.u0),
+                    (x2, out.ok, out.sqp_iters, out.qp_iters))
+        init = (init_carry(x0.dtype), x0, jnp.zeros(NU, dtype=x0.dtype))
+        _, (xs, oks, sqp_it, qp_it) = jax.lax.scan(step, init, None,
+                                                   length=n_steps)
+        assert bool(jnp.all(oks))
+        iters = np.asarray(qp_it) / np.maximum(np.asarray(sqp_it), 1)
+        return np.asarray(xs), iters
 
     base = dict(max_iter=10, qp_solver="riccati_struct", ipm_max_iter=25,
                 ipm_scheme="mehrotra")
