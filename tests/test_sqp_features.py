@@ -13,6 +13,8 @@ These tests pin the round-3 contract:
     ignored (structurally incompatible with stage elimination).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -145,34 +147,85 @@ def test_stage_soc_equals_dense_soc_correction(problem):
                                rtol=1e-10, atol=1e-10)
 
 
-def test_ipm_warm_start_fewer_iters_same_trajectory(problem):
+_WARM_START_CHILD = r"""
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+from mpcc_manipulator_tpu.config import NU, PANDA_DOF
+from mpcc_manipulator_tpu.models import collision_nn as cnn
+from mpcc_manipulator_tpu.models import dynamics as dyn
+from mpcc_manipulator_tpu.models import kinematics as kin
+from mpcc_manipulator_tpu.mpc import init_carry, mpc_step
+from mpcc_manipulator_tpu.params import SQPConfig, load_params
+from mpcc_manipulator_tpu.splines import arc_length as als
+
+TS = 0.01
+params, _ = load_params()
+sel_nn = cnn.load_self_collision_nn()
+env_nn = cnn.load_env_collision_nn()
+x0 = jnp.asarray([0., 0., 0., -np.pi / 2, 0., np.pi / 2, np.pi / 4, 0., 0.])
+ee = np.asarray(kin.ee_position(x0[:PANDA_DOF]))
+nt = 60
+phi = np.linspace(0, 2 * np.pi, nt)
+track = als.gen_6d_spline(
+    np.zeros(nt) + ee[0], 0.12 * np.cos(phi) - 0.12 + ee[1],
+    0.12 * np.sin(phi) + ee[2],
+    np.tile(np.asarray(kin.ee_orientation(x0[:PANDA_DOF])), (nt, 1, 1)))
+obs = jnp.asarray([3.0, 3.0, 3.0], dtype=x0.dtype)
+
+def roll(cfg, n_steps=25):
+    def step(c, _):
+        carry, x, u = c
+        carry2, out = mpc_step(track, params, sel_nn, env_nn, carry, x, u,
+                               obs, 0.0, ts=TS, cfg=cfg)
+        x2 = dyn.sim_time_step(out.x0_updated, out.u0, TS)
+        return ((carry2, x2, out.u0),
+                (x2, out.ok, out.sqp_iters, out.qp_iters))
+    init = (init_carry(x0.dtype), x0, jnp.zeros(NU, dtype=x0.dtype))
+    _, (xs, oks, sqp_it, qp_it) = jax.lax.scan(step, init, None,
+                                               length=n_steps)
+    assert bool(jnp.all(oks))
+    iters = np.asarray(qp_it) / np.maximum(np.asarray(sqp_it), 1)
+    return np.asarray(xs), iters
+
+base = dict(max_iter=10, qp_solver="riccati_struct", ipm_max_iter=25,
+            ipm_scheme="mehrotra")
+traj_c, it_c = roll(SQPConfig(**base))
+traj_w, it_w = roll(SQPConfig(**base, ipm_warm_start=True))
+np.savez(os.environ["WARM_OUT"], traj_c=traj_c, it_c=it_c,
+         traj_w=traj_w, it_w=it_w)
+print("CHILD_OK")
+"""
+
+
+def test_ipm_warm_start_fewer_iters_same_trajectory(tmp_path):
     """Cross-tick IPM warm starting (SQPConfig.ipm_warm_start): strictly
     fewer Newton iterations at steady state, same closed-loop trajectory
-    within solver tolerance, zero failures.  f64 keeps the drift tiny."""
-    params, sel_nn, env_nn, track, x0 = problem
-    obs = jnp.asarray([3.0, 3.0, 3.0], dtype=x0.dtype)
+    within solver tolerance, zero failures.  f64 keeps the drift tiny.
 
-    def roll(cfg, n_steps=25):
-        # one device-side scan per config (a host-driven dispatch loop here
-        # segfaulted CPU XLA under full-suite memory pressure)
-        def step(c, _):
-            carry, x, u = c
-            carry2, out = mpc_step(track, params, sel_nn, env_nn, carry, x, u,
-                                   obs, 0.0, ts=TS, cfg=cfg)
-            x2 = dyn.sim_time_step(out.x0_updated, out.u0, TS)
-            return ((carry2, x2, out.u0),
-                    (x2, out.ok, out.sqp_iters, out.qp_iters))
-        init = (init_carry(x0.dtype), x0, jnp.zeros(NU, dtype=x0.dtype))
-        _, (xs, oks, sqp_it, qp_it) = jax.lax.scan(step, init, None,
-                                                   length=n_steps)
-        assert bool(jnp.all(oks))
-        iters = np.asarray(qp_it) / np.maximum(np.asarray(sqp_it), 1)
-        return np.asarray(xs), iters
+    Runs in a SUBPROCESS: executed after the full suite's ~100 compiled
+    programs, this specific pair of mpc_step compilations reproducibly
+    segfaults CPU XLA (passes standalone every time — an accumulated-state
+    crash inside XLA, not a library bug; the pallas/riccati paths here are
+    pure jnp).  Process isolation keeps the suite immune."""
+    import subprocess
+    import sys
 
-    base = dict(max_iter=10, qp_solver="riccati_struct", ipm_max_iter=25,
-                ipm_scheme="mehrotra")
-    traj_c, it_c = roll(SQPConfig(**base))
-    traj_w, it_w = roll(SQPConfig(**base, ipm_warm_start=True))
+    out = tmp_path / "warm.npz"
+    env = dict(os.environ, WARM_OUT=str(out),
+               JAX_PLATFORMS="cpu")
+    res = subprocess.run([sys.executable, "-c", _WARM_START_CHILD],
+                         capture_output=True, text=True, timeout=600,
+                         env=env, cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert res.returncode == 0 and "CHILD_OK" in res.stdout, (
+        res.returncode, res.stdout[-2000:], res.stderr[-2000:])
+    d = np.load(out)
+    it_c, it_w = d["it_c"], d["it_w"]
     # steady state (skip the cold-identical first ticks): strictly fewer
     # Newton iterations per QP on average, and no worse in the tail
     assert it_w[5:].mean() < it_c[5:].mean() - 0.5, (it_w, it_c)
@@ -181,4 +234,4 @@ def test_ipm_warm_start_fewer_iters_same_trajectory(problem):
     # mu < EPS_IPM from a different start, so per-tick steps differ by
     # O(1e-4) and accumulate; measured max drift 8e-4 over 25 ticks
     # (the riccati-vs-admm backend test allows 0.05 for the same reason)
-    np.testing.assert_allclose(traj_w, traj_c, atol=5e-3)
+    np.testing.assert_allclose(d["traj_w"], d["traj_c"], atol=5e-3)
