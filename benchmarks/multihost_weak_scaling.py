@@ -138,9 +138,12 @@ def worker_main(args):
     from jax._src import distributed as _dist
     _dist.global_state.client.wait_at_barrier("mpcc_post_compile", 300_000)
 
-    # warm + timed reps behind global barriers
-    c, out = compiled(*args_all)
-    jax.block_until_ready(jax.tree.map(lambda a: a, out.u0))
+    # warm + timed reps behind global barriers (two warm executions: the
+    # first also pays one-time runtime setup — buffer donation plumbing,
+    # collective context — that polluted r3's single-warm-up timing)
+    for _ in range(2):
+        c, out = compiled(*args_all)
+        jax.block_until_ready(jax.tree.map(lambda a: a, out.u0))
     times = []
     for _ in range(args.reps):
         mu.sync_global_devices("t0")
@@ -234,16 +237,31 @@ def main():
         worker_main(args)
         return
 
+    # Interleave the configurations and take the min-of-medians per config:
+    # round-3 measured efficiency 1.39 (>1), i.e. the two phases saw
+    # asymmetric machine noise (background compile threads, cache state).
+    # The second pass of each config reuses the persistent compilation
+    # cache, so it is cheap and measures steady-state execution; min() is
+    # the standard noise-robust estimator for a fixed workload.
     r1 = spawn_config(1, args.port, args)
     r2 = spawn_config(args.procs, args.port + 1, args)
-    eff = r1["step_ms_median"] / r2["step_ms_median"]
+    r1b = spawn_config(1, args.port + 2, args)
+    r2b = spawn_config(args.procs, args.port + 3, args)
+    t1 = min(r1["step_ms_median"], r1b["step_ms_median"])
+    t2 = min(r2["step_ms_median"], r2b["step_ms_median"])
+    eff = t1 / t2
     print(json.dumps({
         "metric": "multiprocess_weak_scaling",
         "one_proc": r1,
         "multi_proc": r2,
+        "one_proc_ms": t1,
+        "multi_proc_ms": t2,
+        "one_proc_ms_passes": [r1["step_ms_median"], r1b["step_ms_median"]],
+        "multi_proc_ms_passes": [r2["step_ms_median"], r2b["step_ms_median"]],
         "efficiency": round(eff, 4),
         "note": ("per-process batch fixed; jax.distributed CPU cluster on "
-                 "one machine, 1 device + 1 compute thread per process"),
+                 "one machine, 1 device + 1 compute thread per process; "
+                 "min-of-medians over two interleaved passes per config"),
     }))
 
 

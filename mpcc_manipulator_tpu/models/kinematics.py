@@ -179,12 +179,24 @@ manipulability_gradient_ad = jax.grad(manipulability)
 
 
 def _cholesky6(a: jnp.ndarray) -> jnp.ndarray:
-    """Unrolled lower Cholesky of a 6x6 PD matrix (clamped pivots)."""
+    """Unrolled lower Cholesky of a 6x6 PD matrix (damped, clamped pivots).
+
+    Near a kinematic singularity A = J J' is rank-deficient; a raw 1e-30
+    pivot floor lets A^-1 J reach ~1e15-scale intermediates that overflow
+    in float32 (the production dtype) and NaN the analytic manipulability
+    gradient where the fd/ad paths merely degrade (ADVICE r3).  A
+    trace-scaled Tikhonov shift plus a dtype-relative pivot floor keeps the
+    solve finite: the gradient then degrades smoothly toward zero exactly
+    like the damped least-squares solves used elsewhere in the stack.
+    """
     n = 6
+    eps = jnp.finfo(a.dtype).eps
+    scale = jnp.trace(a) / n + eps
+    m = a + (10.0 * eps * scale) * jnp.eye(n, dtype=a.dtype)
+    floor = eps * scale
     cols = []
-    m = a
     for j in range(n):
-        dgj = jnp.sqrt(jnp.clip(m[j, j], 1e-30, None))
+        dgj = jnp.sqrt(jnp.maximum(m[j, j], floor))
         col = m[:, j].at[:j].set(0.0) / dgj
         cols.append(col)
         if j < n - 1:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import PANDA_DOF
 from .kinematics import _det_psd6, fk_chain
@@ -51,6 +52,21 @@ def ee_orientation(q_m: jnp.ndarray) -> jnp.ndarray:
     rb, _ = _base_transform(base)
     _, r_arm, _, _ = fk_chain(q)
     return rb @ r_arm
+
+
+def ee_position_host(q_m) -> np.ndarray:
+    """Mobile FK on the host CPU backend (see kinematics.ee_position_host:
+    setup paths must never trigger a tunneled-TPU readback)."""
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        return np.asarray(ee_position(jnp.asarray(np.asarray(q_m))))
+
+
+def ee_orientation_host(q_m) -> np.ndarray:
+    """Mobile EE rotation on the host CPU backend."""
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        return np.asarray(ee_orientation(jnp.asarray(np.asarray(q_m))))
 
 
 def ee_jacobian(q_m: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,682 @@
+"""Fused Pallas TPU kernel: the whole stage-QP assembly in one launch.
+
+Why a kernel: ARCHITECTURE.md's phase table puts the per-SQP-iteration
+assembly (`build_qp_stages_k`: spline evals, SO(3) heading linearization,
+GN products, RBF constraint rows, bounds) at ~3.8 ms per iteration at batch
+1024 — all op-count-bound XLA small-op soup, ~half the batched tick
+together with RobotData (VERDICT r3 "next big lever").  This kernel
+computes the identical StageQPK blocks in ONE launch with every
+intermediate in VMEM, scenarios in the lane dimension (BT = 128 per grid
+step), and the spline one-hot gathers as real MXU contractions.
+
+Scope split with the XLA path (`ocp/qp_stages.py::build_qp_stages_k`):
+
+* kernel: everything per-(scenario, knot) — spline pos/tangent/normal and
+  SO(3) reference orientation via one-hot MXU contractions over the
+  coefficient tables, Rodrigues exponential, rotation log (all three
+  branches), right-Jacobian-inverse heading rows, contouring/lag GN
+  products, scheduled weights, bounds offsets (incl. the s trust-region
+  reachability clamp), ddq rate rows, and the RBF polytopic rows;
+* wrapper: the scenario-independent blocks (a_sv, bd, tx, tu, t_rate, the
+  identically-zero hux, and r2) — no lane data involved.
+
+Equivalence contract: float32 agreement with `build_qp_stages_k` on every
+block (tested in interpret mode for both systems,
+tests/test_pallas_assembly.py).  RobotData quantities (FK, NN distances +
+Jacobians) stay in XLA — they are real matmuls the MXU already handles.
+
+Layout/Mosaic notes follow qp_ipm_pallas.py: refs are (stage, flat, B) /
+(flat, B); one-hot masks via broadcasted_iota; slice-then-expand (never
+`a[:k, None]`); scalar track/param values ride in a packed (SC, 1) vector.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import N
+from ..ocp.qp_stages import StageQPK
+from ..ocp.robot_data import RobotData
+from ..params import MPCCParams
+from ..splines.arc_length import TrackSpline
+from ..system import PANDA, System
+
+BT = 128          # scenarios per grid step (f32 lane width)
+
+# scalar-vector slots (wrapper packs, kernel reads)
+_SC_KEYS = [
+    "delta", "length", "ax_last", "ay_last", "az_last",
+    "r_last_0", "r_last_1", "r_last_2", "r_last_3", "r_last_4",
+    "r_last_5", "r_last_6", "r_last_7", "r_last_8",
+    "q_c", "q_c_N_mult", "q_l", "q_vs", "q_ori", "q_sing",
+    "r_dq", "r_dVs",
+    "q_c_red_ratio", "q_l_inc_ratio", "q_ori_red_ratio",
+    "tol_selcol", "tol_sing", "tol_envcol",
+    "v_des", "deacc_ratio", "s_trust",
+]
+_SC = {k: i for i, k in enumerate(_SC_KEYS)}
+_EPS = 1e-8       # so3._EPS
+_RBF_DELTA = -0.5
+
+
+def _assembly_kernel(xs_ref, us_ref, cu_ref,
+                     eep_ref, eer_ref, jv_ref, jw_ref,
+                     mani_ref, dmani_ref, sel_ref, dsel_ref,
+                     env_ref, denv_ref, obsr_ref,
+                     ptbl_ref, rtbl_ref, sc_ref,
+                     tx_ref, tu_ref, xl_ref, xu_ref, ul_ref, uu_ref,
+                     ddql_ref, ddqu_ref,
+                     hxx_out, huu_out, gx_out, gu_out, gxu_out, e_out,
+                     dxu_out, dxl_out, duu_out, dul_out, dru_out, drl_out,
+                     dp_out, cpx_out, cpu_out,
+                     *, nx, nu, dof, npc, ts, nseg, jr_sign):
+    f32 = jnp.float32
+    s_idx, vs_idx, dvs_idx = dof, dof + 1, dof
+    sc = lambda k: sc_ref[_SC[k], 0]           # packed scalar
+    delta, length = sc("delta"), sc("length")
+    eye_nx = jnp.eye(nx, dtype=f32)[:, :, None]
+
+    tx = tx_ref[:]            # (nx, 1)
+    tu = tu_ref[:]            # (nu, 1)
+    tudq = tu[:dof]           # (dof, 1)
+
+    def rbf(h):
+        above = -jnp.log(jnp.maximum(h, _RBF_DELTA) + 1.0)
+        below = (-np.float32(np.log(_RBF_DELTA + 1.0))
+                 - (h - _RBF_DELTA) / (_RBF_DELTA + 1.0)
+                 + (h - _RBF_DELTA) ** 2 / (2.0 * (_RBF_DELTA + 1.0) ** 2))
+        return jnp.where(h >= _RBF_DELTA, above, below)
+
+    def drbf(h):
+        above = -1.0 / (jnp.maximum(h, _RBF_DELTA) + 1.0)
+        below = (-1.0 / (_RBF_DELTA + 1.0)
+                 + (h - _RBF_DELTA) / (_RBF_DELTA + 1.0) ** 2)
+        return jnp.where(h >= _RBF_DELTA, above, below)
+
+    def mat33_mul(a, b):
+        """(9, B) @ (9, B) row-major 3x3 products."""
+        out = []
+        for i in range(3):
+            for j in range(3):
+                acc = a[3 * i + 0] * b[0 + j]
+                acc = acc + a[3 * i + 1] * b[3 + j]
+                acc = acc + a[3 * i + 2] * b[6 + j]
+                out.append(acc)
+        return jnp.stack(out, axis=0)
+
+    def mat33_T(a):
+        return jnp.stack([a[0], a[3], a[6], a[1], a[4], a[7],
+                          a[2], a[5], a[8]], axis=0)
+
+    def matvec33(a, v):
+        """(9, B) 3x3 @ (3, B)."""
+        return jnp.stack([
+            a[0] * v[0] + a[1] * v[1] + a[2] * v[2],
+            a[3] * v[0] + a[4] * v[1] + a[5] * v[2],
+            a[6] * v[0] + a[7] * v[1] + a[8] * v[2]], axis=0)
+
+    def exp_rot(w):
+        """Rodrigues, (3, B) -> (9, B); mirrors so3.exp_rot branches."""
+        th2 = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+        th = jnp.sqrt(th2)
+        small = th < _EPS
+        safe_th = jnp.where(small, 1.0, th)
+        a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(safe_th) / safe_th)
+        b = jnp.where(small, 0.5 - th2 / 24.0,
+                      (1.0 - jnp.cos(safe_th)) / (safe_th * safe_th))
+        # E = I + a K + b K^2, K = hat(w), K^2 = w w^T - th^2 I
+        rows = []
+        wv = [w[0], w[1], w[2]]
+        k_mat = [[None, -wv[2], wv[1]], [wv[2], None, -wv[0]],
+                 [-wv[1], wv[0], None]]
+        for i in range(3):
+            for j in range(3):
+                v = b * (wv[i] * wv[j])
+                if i == j:
+                    v = v + 1.0 - b * th2
+                else:
+                    v = v + a * k_mat[i][j]
+                rows.append(v)
+        return jnp.stack(rows, axis=0)
+
+    def log_rot_vec(r):
+        """(9, B) -> (3, B); mirrors so3.log_rot / log_rot_vec branches."""
+        tr = r[0] + r[4] + r[8]
+        cos_th = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+        th = jnp.arctan2(jnp.sqrt(jnp.clip(1.0 - cos_th * cos_th, 0.0, None)),
+                         cos_th)
+        sin_th = jnp.sin(th)
+        safe_sin = jnp.where(jnp.abs(sin_th) < _EPS, 1.0, sin_th)
+        f = 0.5 * th / safe_sin
+        # vee(R - R^T) components
+        v0, v1, v2 = r[7] - r[5], r[2] - r[6], r[3] - r[1]
+        gen = jnp.stack([f * v0, f * v1, f * v2], axis=0)
+        nid = jnp.stack([0.5 * v0, 0.5 * v1, 0.5 * v2], axis=0)
+        # near-pi: axis from diagonal, signs from the argmax row
+        a_abs = jnp.stack([
+            jnp.sqrt(jnp.clip((r[0] + 1.0) * 0.5, 0.0, None)),
+            jnp.sqrt(jnp.clip((r[4] + 1.0) * 0.5, 0.0, None)),
+            jnp.sqrt(jnp.clip((r[8] + 1.0) * 0.5, 0.0, None))], axis=0)
+        m0 = (a_abs[0] >= a_abs[1]) & (a_abs[0] >= a_abs[2])
+        m1 = (~m0) & (a_abs[1] >= a_abs[2])
+        axis = []
+        for i in range(3):
+            # (r[k, i] + r[i, k]) / 2 for the lane's argmax k
+            c0 = (r[0 + i] + r[3 * i + 0]) * 0.5
+            c1 = (r[3 + i] + r[3 * i + 1]) * 0.5
+            c2 = (r[6 + i] + r[3 * i + 2]) * 0.5
+            ck = jnp.where(m0, c0, jnp.where(m1, c1, c2))
+            is_k = jnp.where(m0, i == 0, jnp.where(m1, i == 1, i == 2))
+            sign = jnp.sign(ck)
+            sign = jnp.where(sign == 0, 1.0, sign)
+            sign = jnp.where(is_k, 1.0, sign)
+            axis.append(a_abs[i] * sign)
+        an = jnp.sqrt(axis[0] ** 2 + axis[1] ** 2 + axis[2] ** 2)
+        an = jnp.maximum(an, _EPS)
+        pi_vec = jnp.stack([axis[0] / an * th, axis[1] / an * th,
+                            axis[2] / an * th], axis=0)
+        out = jnp.where(th < 1e-6, nid, gen)
+        return jnp.where(np.float32(np.pi) - th < 1e-4, pi_vec, out)
+
+    def jr_inv(phi):
+        """Right-Jacobian inverse, (3, B) -> (9, B); sign per so3 variant."""
+        n2 = phi[0] * phi[0] + phi[1] * phi[1] + phi[2] * phi[2]
+        n = jnp.sqrt(n2)
+        small = n < _EPS
+        safe_n = jnp.where(small, 1.0, n)
+        safe_n2 = jnp.where(small, 1.0, n2)
+        sin_n = jnp.sin(safe_n)
+        safe_sin = jnp.where(jnp.abs(sin_n) < _EPS, 1.0, sin_n)
+        coef = (1.0 / safe_n2
+                + jr_sign * (1.0 + jnp.cos(safe_n)) / (2.0 * safe_n * safe_sin))
+        pv = [phi[0], phi[1], phi[2]]
+        k_mat = [[None, -pv[2], pv[1]], [pv[2], None, -pv[0]],
+                 [-pv[1], pv[0], None]]
+        rows = []
+        for i in range(3):
+            for j in range(3):
+                v = coef * (pv[i] * pv[j])
+                if i == j:
+                    v = v + 1.0 - coef * n2
+                else:
+                    v = v + 0.5 * k_mat[i][j]
+                v = jnp.where(small, 1.0 if i == j else 0.0, v)
+                rows.append(v)
+        return jnp.stack(rows, axis=0)
+
+    # ---- per-knot sweep (static unroll; knot N is the terminal knot)
+    for k in range(N + 1):
+        term = k == N
+        x_k = xs_ref[k]                       # (nx, B)
+        u_k = us_ref[k] if not term else jnp.zeros((nu, BT), f32)
+
+        # ---------- spline evaluation at s_k ----------
+        s_raw = x_k[s_idx:s_idx + 1]          # (1, B)
+        s_c = jnp.clip(s_raw, 0.0, length)
+        seg = jnp.clip((s_c / delta), 0.0, float(nseg - 2)).astype(jnp.int32)
+        dx = s_c - seg.astype(f32) * delta    # (1, B)
+        at_end = s_c >= length                # (1, B) bool
+
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (nseg, BT), 0)
+              == seg).astype(f32)             # (nseg, B)
+        csel = jax.lax.dot_general(
+            ptbl_ref[:], oh, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)        # (12, B)
+        rsel = jax.lax.dot_general(
+            rtbl_ref[:], oh[:nseg - 1], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)        # (14, B)
+
+        dx2 = dx * dx
+        dx3 = dx2 * dx
+        p_ref, tangent, normal = [], [], []
+        a_last = [sc("ax_last"), sc("ay_last"), sc("az_last")]
+        for ch in range(3):
+            a, b, c, d = (csel[4 * ch], csel[4 * ch + 1],
+                          csel[4 * ch + 2], csel[4 * ch + 3])
+            val = a + b * dx[0] + c * dx2[0] + d * dx3[0]
+            der = b + 2.0 * c * dx[0] + 3.0 * d * dx2[0]
+            sec = 2.0 * c + 6.0 * d * dx[0]
+            p_ref.append(jnp.where(at_end[0], a_last[ch], val))
+            tangent.append(jnp.where(at_end[0], 0.0, der))
+            normal.append(jnp.where(at_end[0], 0.0, sec))
+        p_ref = jnp.stack(p_ref, axis=0)       # (3, B)
+        tangent = jnp.stack(tangent, axis=0)
+        normal = jnp.stack(normal, axis=0)
+
+        # SO(3) reference orientation + derivative (angular-velocity vector)
+        r_i = rsel[:9]                         # (9, B)
+        omega = rsel[9:12]
+        cc = rsel[12:13]
+        dd = rsel[13:14]
+        blend = cc * dx2 + dd * dx3            # (1, B)
+        e_exp = exp_rot(omega * blend)
+        r_ref = mat33_mul(r_i, e_exp)          # (9, B)
+        r_last = jnp.stack([sc(f"r_last_{i}")
+                            + jnp.zeros((BT,), f32) for i in range(9)], axis=0)
+        r_ref = jnp.where(at_end, r_last, r_ref)
+        dblend = 2.0 * cc * dx + 3.0 * dd * dx2
+        dr_ref = jnp.where(at_end, 0.0, omega * dblend)   # (3, B)
+
+        # ---------- heading linearization ----------
+        r_cur = eer_ref[k]                     # (9, B) row-major
+        r_bar = mat33_mul(mat33_T(r_ref), r_cur)
+        log_v = log_rot_vec(r_bar)             # (3, B)
+        jri = jr_inv(log_v)                    # (9, B)
+        m1 = mat33_mul(jri, mat33_T(r_cur))    # (9, B)
+        jw_k = jw_ref[k].reshape(3, dof, BT)
+        # d_log columns: q-block = m1 @ jw; s column = -m1 @ dr_ref
+        d_log_q = jnp.stack(
+            [m1[3 * i + 0][None] * jw_k[0]
+             + m1[3 * i + 1][None] * jw_k[1]
+             + m1[3 * i + 2][None] * jw_k[2] for i in range(3)],
+            axis=0)                            # (3, dof, B)
+        d_log_s = -matvec33(m1, dr_ref)        # (3, B)
+
+        # ---------- contouring / lag ----------
+        e_tot = eep_ref[k] - p_ref             # (3, B)
+        te = (tangent[0] * e_tot[0] + tangent[1] * e_tot[1]
+              + tangent[2] * e_tot[2])[None]   # (1, B)
+        lag = tangent * te                     # (3, B)
+        cont = e_tot - lag
+        jv_k = jv_ref[k].reshape(3, dof, BT)
+        # d_total: q cols = jv, s col = -tangent
+        # d_lag q cols: t (t . jv_j); s col: -t (t.t) + t (e.n) + (t.e) n
+        t_dot_jv = (tangent[0][None] * jv_k[0] + tangent[1][None] * jv_k[1]
+                    + tangent[2][None] * jv_k[2])          # (dof, B)
+        d_lag_q = jnp.stack([tangent[i][None] * t_dot_jv for i in range(3)],
+                            axis=0)                        # (3, dof, B)
+        tt = (tangent[0] * tangent[0] + tangent[1] * tangent[1]
+              + tangent[2] * tangent[2])[None]             # (1, B)
+        en = (e_tot[0] * normal[0] + e_tot[1] * normal[1]
+              + e_tot[2] * normal[2])[None]
+        d_lag_s = -tangent * tt + tangent * en + normal * te   # (3, B)
+        d_cont_q = jnp.stack([jv_k[i] - d_lag_q[i] for i in range(3)], axis=0)
+        d_cont_s = -tangent - d_lag_s          # (3, B)
+
+        # ---------- scheduled weights / desired velocity ----------
+        sel_d = sel_ref[k]                     # (1, B)
+        mani = mani_ref[k]                     # (1, B)
+        ratio = jnp.minimum(sel_d / (sc("tol_selcol") * 2.0),
+                            mani / (sc("tol_sing") * 2.0))
+        tblend = (ratio - 0.5) / 0.5
+        bl = 3.0 * tblend * tblend - 2.0 * tblend * tblend * tblend
+        near = ratio <= 1.0
+        q_c0, q_l0, q_o0 = sc("q_c"), sc("q_l"), sc("q_ori")
+        q_c = jnp.where(near, q_c0 * (sc("q_c_red_ratio")
+                                      + (1.0 - sc("q_c_red_ratio")) * bl), q_c0)
+        q_l = jnp.where(near, q_l0 * (sc("q_l_inc_ratio")
+                                      + (1.0 - sc("q_l_inc_ratio")) * bl), q_l0)
+        q_ori = jnp.where(near, q_o0 * (sc("q_ori_red_ratio")
+                                        + (1.0 - sc("q_ori_red_ratio")) * bl),
+                          q_o0)
+        qc_k = sc("q_c_N_mult") * q_c if term else q_c
+
+        v_des0 = sc("v_des")
+        taper = -v_des0 / (length * sc("deacc_ratio")) * (s_raw - length)
+        v_des = jnp.where(s_raw < length * sc("deacc_ratio"), v_des0, taper)
+        dv = x_k[vs_idx:vs_idx + 1] - v_des    # (1, B)
+
+        # ---------- gradient f_x ----------
+        # 2 qc d_cont' cont + 2 ql d_lag' lag + 2 qo d_log' log  (q cols + s)
+        g_q = (2.0 * qc_k * (d_cont_q[0] * cont[0][None]
+                             + d_cont_q[1] * cont[1][None]
+                             + d_cont_q[2] * cont[2][None])
+               + 2.0 * q_l * (d_lag_q[0] * lag[0][None]
+                              + d_lag_q[1] * lag[1][None]
+                              + d_lag_q[2] * lag[2][None])
+               + 2.0 * q_ori * (d_log_q[0] * log_v[0][None]
+                                + d_log_q[1] * log_v[1][None]
+                                + d_log_q[2] * log_v[2][None])
+               - sc("q_sing") * dmani_ref[k])             # (dof, B)
+        g_s = (2.0 * qc_k[0] * (d_cont_s[0] * cont[0] + d_cont_s[1] * cont[1]
+                                + d_cont_s[2] * cont[2])
+               + 2.0 * q_l[0] * (d_lag_s[0] * lag[0] + d_lag_s[1] * lag[1]
+                                 + d_lag_s[2] * lag[2])
+               + 2.0 * q_ori[0] * (d_log_s[0] * log_v[0]
+                                   + d_log_s[1] * log_v[1]
+                                   + d_log_s[2] * log_v[2]))[None]  # (1, B)
+        g_vs = 2.0 * sc("q_vs") * dv
+        fx = jnp.concatenate([g_q, g_s, g_vs], axis=0)    # (nx, B)
+        gx_out[k] = tx * fx
+
+        # ---------- Gauss-Newton f_xx ----------
+        # rows/cols: [q(dof) | s | vs]; built from the three (3, nx) stacks
+        # weighted GN accumulation: fxx = sum_c (2qc cc' + 2ql ll' + 2qo gg')
+        d_cont_full = [jnp.concatenate([d_cont_q[i], d_cont_s[i][None],
+                                        jnp.zeros((1, BT), f32)], axis=0)
+                       for i in range(3)]                  # 3 x (nx, B)
+        d_lag_full = [jnp.concatenate([d_lag_q[i], d_lag_s[i][None],
+                                       jnp.zeros((1, BT), f32)], axis=0)
+                      for i in range(3)]
+        d_log_full = [jnp.concatenate([d_log_q[i], d_log_s[i][None],
+                                       jnp.zeros((1, BT), f32)], axis=0)
+                      for i in range(3)]
+        fxx = jnp.zeros((nx, nx, BT), f32)
+        for i in range(3):
+            fxx = fxx + (2.0 * qc_k)[None] * (
+                d_cont_full[i][:, None] * d_cont_full[i][None])
+            fxx = fxx + (2.0 * q_l)[None] * (
+                d_lag_full[i][:, None] * d_lag_full[i][None])
+            fxx = fxx + (2.0 * q_ori)[None] * (
+                d_log_full[i][:, None] * d_log_full[i][None])
+        # q_vs on the vs diagonal + Tikhonov
+        oh_vs = (jax.lax.broadcasted_iota(jnp.int32, (nx, nx, 1), 0) == vs_idx
+                 ).astype(f32) * (jax.lax.broadcasted_iota(
+                     jnp.int32, (nx, nx, 1), 1) == vs_idx).astype(f32)
+        fxx = fxx + oh_vs * (2.0 * sc("q_vs")) + eye_nx * 1e-6
+        hxx_out[k] = (tx[:, None] * fxx * tx[None]).reshape(nx * nx, BT)
+
+        if term:
+            continue
+
+        # ---------- input cost (f_u, f_uu) + ddq smoothness ----------
+        dq_prev = cu_ref[:dof] if k == 0 else us_ref[k - 1][:dof]
+        ddq_pair = u_k[:dof] - dq_prev         # (dof, B)
+        two_r_k = 0.0 if k == 0 else 2.0       # * r_ddq (pair active k>=1)
+
+        fu_q = 2.0 * sc("r_dq") * u_k[:dof]
+        fu_vs = (2.0 * sc("r_dVs") * u_k[dvs_idx:dvs_idx + 1])
+        fu = jnp.concatenate([fu_q, fu_vs], axis=0)        # (nu, B)
+        # smoothness gradient: +2 r_ddq T (dq_k - dq_{k-1}) on u; - on u_prev
+        r_ddq_v = sc("r_ddq_w")
+        g_sm = two_r_k * r_ddq_v * tudq * ddq_pair          # (dof, B)
+        gu = tu * fu
+        gu = jnp.concatenate([gu[:dof] + g_sm, gu[dof:]], axis=0)
+        gu_out[k] = gu
+        gxu_out[k] = -g_sm
+
+        # f_uu: diag(2 r_dq ... 2 r_dVs) + Tikhonov; huu += r2 on dq diag
+        diag_u = jnp.concatenate([
+            jnp.full((dof, 1), 1.0, f32) * (2.0 * sc("r_dq") + 1e-6),
+            jnp.full((nu - dof, 1), 1.0, f32) * (2.0 * sc("r_dVs") + 1e-6),
+        ], axis=0)                                          # (nu, 1)
+        tu2 = tu * tu                                       # (nu, 1)
+        r2_diag = jnp.concatenate(
+            [two_r_k * r_ddq_v * jnp.ones((dof, 1), f32),
+             jnp.zeros((nu - dof, 1), f32)], axis=0)        # (nu, 1)
+        huu_diag = tu2 * diag_u + tu2 * r2_diag             # (nu, 1)
+        eye_u = jnp.eye(nu, dtype=f32)[:, :, None]
+        huu_out[k] = (eye_u * huu_diag[None]
+                      * jnp.ones((1, 1, BT), f32)).reshape(nu * nu, BT)
+
+        # ---------- dynamics defect ----------
+        x_next = xs_ref[k + 1]                 # (nx, B)
+        # pred = Ad x + Bd u: Ad = I + ts E(s,vs); Bd: dq rows ts, vs ts,
+        # s row ts^2/2 on dVs
+        pred_q = x_k[:dof] + ts * u_k[:dof]
+        pred_s = (x_k[s_idx:s_idx + 1] + ts * x_k[vs_idx:vs_idx + 1]
+                  + 0.5 * ts * ts * u_k[dvs_idx:dvs_idx + 1])
+        pred_vs = x_k[vs_idx:vs_idx + 1] + ts * u_k[dvs_idx:dvs_idx + 1]
+        pred = jnp.concatenate([pred_q, pred_s, pred_vs], axis=0)
+        tx_inv = 1.0 / tx
+        e_out[k] = -((x_next - pred) * tx_inv)
+
+        # ---------- bounds ----------
+        # state box for knot k+1 (kernel outputs knots 1..N at row k)
+        xk1 = x_next
+        s1 = xk1[s_idx:s_idx + 1]
+        bx_u = jnp.concatenate(
+            [xu_ref[:s_idx] + jnp.zeros((1, BT), f32),
+             jnp.minimum(s1 + sc("s_trust"), length),
+             xu_ref[s_idx + 1:] + jnp.zeros((1, BT), f32)], axis=0)
+        bx_l = jnp.concatenate(
+            [xl_ref[:s_idx] + jnp.zeros((1, BT), f32),
+             jnp.maximum(s1 - sc("s_trust"), 0.0),
+             xl_ref[s_idx + 1:] + jnp.zeros((1, BT), f32)], axis=0)
+        d_xu = bx_u - xk1
+        d_xl = xk1 - bx_l
+        oh_s = (jax.lax.broadcasted_iota(jnp.int32, (nx, 1), 0)
+                == s_idx).astype(f32)
+        d_xu = jnp.where(oh_s > 0, jnp.maximum(d_xu, 1e-6), d_xu)
+        d_xl = jnp.where(oh_s > 0, jnp.maximum(d_xl, 1e-6), d_xl)
+        dxu_out[k] = d_xu
+        dxl_out[k] = d_xl
+
+        duu_out[k] = uu_ref[:] - u_k
+        dul_out[k] = u_k - ul_ref[:]
+
+        rate_val = ddq_pair * (1.0 / ts)
+        dru_out[k] = ddqu_ref[:] - rate_val
+        drl_out[k] = rate_val - ddql_ref[:]
+
+        # ---------- polytopic rows (RBF) ----------
+        dq_u = u_k[:dof]
+        selh = 0.01 * sel_d - 0.01 * sc("tol_selcol")       # (1, B)
+        d_sel = 0.01 * dsel_ref[k]                          # (dof, B)
+        c_sel = (-jnp.sum(d_sel * dq_u, axis=0)[None] + rbf(selh))
+        singh = mani - sc("tol_sing")
+        d_sing = dmani_ref[k]
+        c_sing = (-jnp.sum(d_sing * dq_u, axis=0)[None] + rbf(singh))
+        envh = (0.01 * (env_ref[k] - 1.2 * obsr_ref[:])
+                - 0.01 * sc("tol_envcol"))                  # (nl, B)
+        d_env = 0.01 * denv_ref[k].reshape(npc - 2, dof, BT)
+        c_env = (-jnp.sum(d_env * dq_u[None], axis=1) + rbf(envh))
+        dp_out[k] = -jnp.concatenate([c_sel, c_sing, c_env], axis=0)
+
+        # cpx rows: drbf(h) * d  on the q columns, scaled by tx
+        txq = tx[:dof]                                      # (dof, 1)
+        zpad = jnp.zeros((1, 2, BT), f32)
+        row_sel = (drbf(selh) * d_sel * txq)[None]          # (1, dof, B)
+        row_sing = (drbf(singh) * d_sing * txq)[None]
+        rows_env = drbf(envh)[:, None] * d_env * txq[None]  # (nl, dof, B)
+        cpx = jnp.concatenate([
+            jnp.concatenate([row_sel, zpad], axis=1),
+            jnp.concatenate([row_sing, zpad], axis=1),
+            jnp.concatenate([rows_env,
+                             jnp.zeros((npc - 2, 2, BT), f32)], axis=1),
+        ], axis=0)                                          # (npc, nx, B)
+        cpx_out[k] = cpx.reshape(npc * nx, BT)
+
+        tuq = tu[:dof]
+        zpad_u = jnp.zeros((1, nu - dof, BT), f32)
+        cu_sel = (-d_sel * tuq)[None]
+        cu_sing = (-d_sing * tuq)[None]
+        cu_env = -d_env * tuq[None]
+        cpu = jnp.concatenate([
+            jnp.concatenate([cu_sel, zpad_u], axis=1),
+            jnp.concatenate([cu_sing, zpad_u], axis=1),
+            jnp.concatenate([cu_env,
+                             jnp.zeros((npc - 2, nu - dof, BT), f32)], axis=1),
+        ], axis=0)
+        cpu_out[k] = cpu.reshape(npc * nu, BT)
+
+
+def _pack_scalars(track: TrackSpline, params: MPCCParams, dtype):
+    """Scalar slot vector (SC, 1); order must match _SC_KEYS + r_ddq_w."""
+    m, c = params.model, params.cost
+    r_last = track.sr.r[-1].reshape(9)
+    vals = [track.sx.delta, track.length,
+            track.sx.a[-1], track.sy.a[-1], track.sz.a[-1],
+            *[r_last[i] for i in range(9)],
+            c.q_c, c.q_c_N_mult, c.q_l, c.q_vs, c.q_ori, c.q_sing,
+            c.r_dq, c.r_dVs,
+            c.q_c_red_ratio, c.q_l_inc_ratio, c.q_ori_red_ratio,
+            m.tol_selcol, m.tol_sing, m.tol_envcol,
+            m.desired_ee_velocity, m.deacc_ratio, m.s_trust_region,
+            c.r_ddq]
+    return jnp.stack([jnp.asarray(v, dtype) for v in vals])[:, None]
+
+
+# r_ddq rides one slot past the named keys
+_SC["r_ddq_w"] = len(_SC_KEYS)
+
+
+@functools.partial(jax.jit, static_argnames=("system", "ts", "interpret",
+                                             "exact_heading_jac"))
+def _build_batched(track: TrackSpline, z_b: jnp.ndarray, rb_b: RobotData,
+                   params: MPCCParams, cu_b: jnp.ndarray, ts: float,
+                   exact_heading_jac: bool = False,
+                   system: System = PANDA,
+                   interpret: bool = False) -> StageQPK:
+    """Batched kernel assembly: z (b, n_var) etc. -> batched StageQPK."""
+    nx, nu, dof, npc = system.nx, system.nu, system.dof, system.npc
+    b = z_b.shape[0]
+    f32 = jnp.float32
+    in_dtype = z_b.dtype
+
+    xs = z_b[:, :nx * (N + 1)].reshape(b, N + 1, nx).astype(f32)
+    us = z_b[:, nx * (N + 1):].reshape(b, N, nu).astype(f32)
+    bl = lambda a: jnp.moveaxis(a.astype(f32), 0, -1)
+
+    nl = system.num_links
+    inputs = [
+        bl(xs), bl(us), bl(cu_b),
+        bl(rb_b.ee_pos), bl(rb_b.ee_rot.reshape(b, N + 1, 9)),
+        bl(rb_b.jv.reshape(b, N + 1, 3 * dof)),
+        bl(rb_b.jw.reshape(b, N + 1, 3 * dof)),
+        bl(rb_b.manipul[..., None]), bl(rb_b.d_manipul),
+        bl(rb_b.sel_dist[..., None]), bl(rb_b.d_sel_dist),
+        bl(rb_b.env_dist), bl(rb_b.d_env_dist.reshape(b, N + 1, nl * dof)),
+        jnp.broadcast_to(
+            jnp.reshape(rb_b.obs_radius.astype(f32), (b,))[None, :], (1, b)),
+    ]
+    # shared (lane-independent) tables
+    nseg = track.sx.a.shape[0]
+    ptbl = jnp.stack([track.sx.a, track.sx.b, track.sx.c, track.sx.d,
+                      track.sy.a, track.sy.b, track.sy.c, track.sy.d,
+                      track.sz.a, track.sz.b, track.sz.c, track.sz.d],
+                     axis=1).astype(f32)                    # (nseg, 12)
+    m = nseg - 1
+    rtbl = jnp.concatenate([track.sr.r[:m].reshape(m, 9), track.sr.omega,
+                            track.sr.c[:, None], track.sr.d[:, None]],
+                           axis=1).astype(f32)              # (nseg-1, 14)
+    sc_vec = _pack_scalars(track, params, f32)
+    bnd = params.bounds
+    nrm = params.normalization
+    shared = [ptbl, rtbl, sc_vec,
+              nrm.t_x.astype(f32)[:, None], nrm.t_u.astype(f32)[:, None],
+              bnd.x_l.astype(f32)[:, None], bnd.x_u.astype(f32)[:, None],
+              bnd.u_l.astype(f32)[:, None], bnd.u_u.astype(f32)[:, None],
+              bnd.ddq_l.astype(f32)[:, None], bnd.ddq_u.astype(f32)[:, None]]
+
+    b_pad = ((b + BT - 1) // BT) * BT
+    if b_pad != b:
+        inputs = [jnp.concatenate(
+            [a, jnp.repeat(a[..., :1], b_pad - b, axis=-1)], axis=-1)
+            for a in inputs]
+    n_tiles = b_pad // BT
+
+    def spec(a):
+        shape = a.shape[:-1] + (BT,)
+        nlead = len(shape) - 1
+        return pl.BlockSpec(shape, lambda i, _n=nlead: (0,) * _n + (i,),
+                            memory_space=pltpu.VMEM)
+
+    def shared_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((N + 1, nx * nx, b_pad), f32),  # hxx
+        jax.ShapeDtypeStruct((N, nu * nu, b_pad), f32),      # huu
+        jax.ShapeDtypeStruct((N + 1, nx, b_pad), f32),       # gx
+        jax.ShapeDtypeStruct((N, nu, b_pad), f32),           # gu
+        jax.ShapeDtypeStruct((N, dof, b_pad), f32),          # gxu
+        jax.ShapeDtypeStruct((N, nx, b_pad), f32),           # e
+        jax.ShapeDtypeStruct((N, nx, b_pad), f32),           # d_xu
+        jax.ShapeDtypeStruct((N, nx, b_pad), f32),           # d_xl
+        jax.ShapeDtypeStruct((N, nu, b_pad), f32),           # d_uu
+        jax.ShapeDtypeStruct((N, nu, b_pad), f32),           # d_ul
+        jax.ShapeDtypeStruct((N, dof, b_pad), f32),          # d_ru
+        jax.ShapeDtypeStruct((N, dof, b_pad), f32),          # d_rl
+        jax.ShapeDtypeStruct((N, npc, b_pad), f32),          # d_p
+        jax.ShapeDtypeStruct((N, npc * nx, b_pad), f32),     # cpx
+        jax.ShapeDtypeStruct((N, npc * nu, b_pad), f32),     # cpu
+    ]
+
+    kern = functools.partial(
+        _assembly_kernel, nx=nx, nu=nu, dof=dof, npc=npc, ts=float(ts),
+        nseg=nseg, jr_sign=(-1.0 if exact_heading_jac else 1.0))
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[spec(a) for a in inputs] + [shared_spec(a) for a in shared],
+        out_shape=out_shapes,
+        out_specs=[spec(jnp.zeros(s.shape)) for s in out_shapes],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*inputs, *shared)
+
+    (hxx, huu, gx, gu, gxu, e, d_xu, d_xl, d_uu, d_ul, d_ru, d_rl, d_p,
+     cpx, cpu) = outs
+    ub = lambda a: jnp.moveaxis(a, -1, 0)[:b].astype(in_dtype)
+
+    # ---- scenario-independent blocks (no lane data -> wrapper territory)
+    dtype = in_dtype
+    tx_v = params.normalization.t_x.astype(dtype)
+    tu_v = params.normalization.t_u.astype(dtype)
+    tx_inv = 1.0 / tx_v
+    tudq = tu_v[:dof]
+    from ..ocp.qp_data import _discrete_ab
+    ad, bd_raw = _discrete_ab(ts, dtype, system)
+    bd = tx_inv[:, None] * bd_raw * tu_v[None, :]
+    a_sv = (jnp.asarray(float(ts), dtype) * tx_v[system.vs_idx]
+            * tx_inv[system.s_idx])
+    pair_mask = jnp.concatenate([jnp.zeros(1, dtype), jnp.ones(N - 1, dtype)])
+    r2 = (2.0 * params.cost.r_ddq.astype(dtype) * pair_mask[:, None]
+          * (tudq * tudq)[None, :])
+    bcast = lambda a: jnp.broadcast_to(a[None], (b,) + a.shape)
+
+    return StageQPK(
+        hxx=ub(hxx).reshape(b, N + 1, nx, nx),
+        hux=jnp.zeros((b, N, nu, nx), dtype=dtype),
+        huu=ub(huu).reshape(b, N, nu, nu),
+        r2=bcast(r2), gx=ub(gx), gu=ub(gu), gxu=ub(gxu), e=ub(e),
+        a_sv=jnp.broadcast_to(a_sv[None], (b,)), bd=bcast(bd),
+        tx=bcast(tx_v), tu=bcast(tu_v), t_rate=bcast(tudq / ts),
+        d_xu=ub(d_xu), d_xl=ub(d_xl), d_uu=ub(d_uu), d_ul=ub(d_ul),
+        d_ru=ub(d_ru), d_rl=ub(d_rl), d_p=ub(d_p),
+        cpx=ub(cpx).reshape(b, N, npc, nx),
+        cpu=ub(cpu).reshape(b, N, npc, nu))
+
+
+_ASM_CACHE: dict = {}
+
+
+def make_pallas_assembly(system: System = PANDA, ts: float = 0.01,
+                         exact_heading_jac: bool = False,
+                         interpret: bool = False):
+    """Build (and cache) the custom-vmap kernel assembly for a system."""
+    key = (system.name, float(ts), exact_heading_jac, interpret)
+    if key in _ASM_CACHE:
+        return _ASM_CACHE[key]
+
+    @jax.custom_batching.custom_vmap
+    def build(track, z, rb, params, current_u) -> StageQPK:
+        qp1 = _build_batched(track, z[None], jax.tree.map(lambda a: a[None], rb),
+                             params, current_u[None], ts,
+                             exact_heading_jac, system, interpret)
+        return jax.tree.map(lambda a: a[0], qp1)
+
+    @build.def_vmap
+    def _vmap_rule(axis_size, in_batched, track, z, rb, params, current_u):
+        bc = lambda a, isb: a if isb else jnp.broadcast_to(
+            a[None], (axis_size,) + a.shape)
+        rb_b = jax.tree.map(bc, rb, in_batched[2])
+        qp = _build_batched(track, bc(z, in_batched[1]), rb_b, params,
+                            bc(current_u, in_batched[4]), ts,
+                            exact_heading_jac, system, interpret)
+        return qp, jax.tree.map(lambda _: True, qp)
+
+    _ASM_CACHE[key] = build
+    return build
+
+
+def build_qp_stages_k_pallas(track: TrackSpline, z: jnp.ndarray,
+                             rb: RobotData, params: MPCCParams,
+                             current_u: jnp.ndarray, ts,
+                             exact_heading_jac: bool = False,
+                             system: System = PANDA,
+                             interpret: bool | None = None) -> StageQPK:
+    """Drop-in for `build_qp_stages_k` on the TPU assembly kernel."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    return make_pallas_assembly(system, float(ts), exact_heading_jac,
+                                interpret)(track, z, rb, params, current_u)

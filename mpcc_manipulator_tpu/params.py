@@ -315,6 +315,19 @@ class SQPConfig:
     # RobotData's FK pass — equals "ad" to roundoff at a fraction of the
     # cost; the production default in bench.py).
     mani_grad: str = "fd"
+    # Pallas kernel execution mode for the riccati_pallas path: None =
+    # auto-detect (compiled on TPU backends, interpreter elsewhere — see
+    # qp_ipm_pallas.solve_qp_ipm_pallas); True forces the interpreter.
+    # Needed explicitly when the process default backend is a TPU but the
+    # computation targets a CPU mesh (dryrun_multichip on a box with the
+    # tunneled-TPU plugin registered).
+    ipm_interpret: bool | None = None
+    # Stage-QP assembly backend (riccati_pallas only): "xla" (vmapped
+    # build_qp_stages_k) or "pallas" (ops/pallas_assembly.py — the whole
+    # per-SQP-iteration assembly fused into one batch-in-lanes kernel;
+    # spline gathers become MXU contractions, everything else stays in
+    # VMEM.  Step-exact to f32 vs the XLA path, tested both systems).
+    qp_assembly: str = "xla"
 
 
 def load_sqp_params(file: str, overrides: Mapping[str, float] | None = None,

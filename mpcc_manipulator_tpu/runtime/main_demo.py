@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--n_sim", type=int, default=None,
                     help="max ticks (default: config.json n_sim)")
     ap.add_argument("--track", type=str, default=None)
+    ap.add_argument("--letter", type=str, default=None, metavar="TEXT",
+                    help="trace TEXT with the EE (reference letter demo, "
+                         "`track_from_letter.py` / DYROS_letter.mp4); "
+                         "generates the track JSON and overrides --track")
+    ap.add_argument("--letter_height", type=float, default=0.10)
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--float32", action="store_true",
                     help="production precision instead of conformance f64")
@@ -41,8 +46,17 @@ def main():
     from ..api import MPCC
     from ..models.dynamics import sim_time_step
 
+    track_path = args.track
+    if args.letter:
+        from .track_gen import letter_track, write_track
+        track_path = os.path.join(args.out_dir,
+                                  f"track_letter_{args.letter}.json")
+        write_track(track_path, letter_track(args.letter,
+                                             height=args.letter_height))
+        print(f"letter track '{args.letter}' -> {track_path}")
+
     dtype = jnp.float32 if args.float32 else jnp.float64
-    mpc = MPCC(track_path=args.track, dtype=dtype)
+    mpc = MPCC(track_path=track_path, dtype=dtype)
     n_sim = args.n_sim if args.n_sim is not None else mpc.jsonConfig["n_sim"]
 
     state = np.array([0., 0., 0., -np.pi / 2, 0., np.pi / 2, np.pi / 4, 0., 0.])

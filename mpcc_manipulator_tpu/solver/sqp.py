@@ -228,8 +228,17 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
             # .at-chain packing costs ~2x the whole QP solve at batch scale)
             # + the fused VMEM-resident TPU kernel
             from . import qp_ipm_pallas
-            rep = qps.build_qp_stages_k(track, z, rb, params, current_u, ts,
-                                        exact_heading_jac, system=system)
+            if cfg.qp_assembly == "pallas":
+                # whole-assembly fusion: one launch per SQP iteration
+                # instead of the XLA small-op soup (ops/pallas_assembly.py)
+                from ..ops import pallas_assembly as pasm
+                rep = pasm.build_qp_stages_k_pallas(
+                    track, z, rb, params, current_u, ts, exact_heading_jac,
+                    system=system, interpret=cfg.ipm_interpret)
+            else:
+                rep = qps.build_qp_stages_k(track, z, rb, params, current_u,
+                                            ts, exact_heading_jac,
+                                            system=system)
             has_nan = (jnp.any(jnp.isnan(rep.hxx)) | jnp.any(jnp.isnan(rep.gx))
                        | jnp.any(jnp.isnan(rep.cpx))
                        | jnp.any(jnp.isnan(rep.d_p))
@@ -238,7 +247,8 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
             solve = lambda r, w_s=None, w_l=None: \
                 qp_ipm_pallas.solve_qp_ipm_pallas(
                     r, max_iter=cfg.ipm_max_iter, system=system,
-                    scheme=cfg.ipm_scheme, warm_s=w_s, warm_lam=w_l)
+                    scheme=cfg.ipm_scheme, warm_s=w_s, warm_lam=w_l,
+                    interpret=cfg.ipm_interpret)
         elif cfg.qp_solver == "riccati_struct":
             # structure-exploiting representation solved with plain-XLA
             # group ops (the kernel's algorithm reference)
@@ -281,9 +291,14 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
 
         if cfg.ipm_warm_start:
             # carry the iterates forward (next SQP iteration / next tick);
-            # frozen on guard failure (the rows would be garbage)
+            # frozen on guard failure (the rows would be garbage) AND on a
+            # diverged-but-finite QP (mu blown past any plausible central
+            # path: the clipped iterate would seed the next solve far
+            # off-path and cost iterations instead of saving them —
+            # ADVICE r3)
             fail_now = (jnp.any(jnp.isnan(sol.s_rows))
-                        | jnp.any(jnp.isnan(sol.lam_rows)))
+                        | jnp.any(jnp.isnan(sol.lam_rows))
+                        | (~sol.solved & (sol.mu > 1e3)))
             ipm_s = jnp.where(fail_now, ipm_s, sol.s_rows)
             ipm_lam = jnp.where(fail_now, ipm_lam, sol.lam_rows)
 

@@ -165,15 +165,19 @@ def _model_terms_jit(rep, sol, solver):
     return _stage_model_terms(rep, sol, solver, PANDA)
 
 
-def _ipm_solve(rep, cfg):
+def _ipm_solve(rep, cfg, warm_s=None, warm_lam=None):
     if cfg.qp_solver == "riccati_pallas":
         from . import qp_ipm_pallas
-        return qp_ipm_pallas.solve_qp_ipm_pallas(rep, max_iter=cfg.ipm_max_iter)
+        return qp_ipm_pallas.solve_qp_ipm_pallas(
+            rep, max_iter=cfg.ipm_max_iter, scheme=cfg.ipm_scheme,
+            warm_s=warm_s, warm_lam=warm_lam)
     if cfg.qp_solver == "riccati_struct":
         return qp_ipm.solve_qp_ipm_s(rep, max_iter=cfg.ipm_max_iter,
-                                     scheme=cfg.ipm_scheme)
+                                     scheme=cfg.ipm_scheme,
+                                     warm_s=warm_s, warm_lam=warm_lam)
     return qp_ipm.solve_qp_ipm(rep, max_iter=cfg.ipm_max_iter,
-                               scheme=cfg.ipm_scheme)
+                               scheme=cfg.ipm_scheme,
+                               warm_s=warm_s, warm_lam=warm_lam)
 
 
 def solve_ocp_timed_riccati(track: TrackSpline, rb: RobotData,
@@ -192,6 +196,13 @@ def solve_ocp_timed_riccati(track: TrackSpline, rb: RobotData,
     alpha_fail = float(params.sqp.line_search_tau) ** cfg.line_search_max_iter
     status = Status.MAX_ITER_EXCEEDED
     solver = cfg.qp_solver
+    # cross-iteration IPM warm state (mirrors solve_ocp's carry so the
+    # profiled Newton iteration counts match the production path when
+    # cfg.ipm_warm_start is on — ADVICE r3)
+    warm_s = warm_lam = None
+    if cfg.ipm_warm_start:
+        _clip = lambda a: jnp.clip(a, cfg.ipm_warm_clip_lo,
+                                   cfg.ipm_warm_clip_hi)
 
     for it in range(cfg.max_iter):
         t0 = time.perf_counter()
@@ -201,10 +212,16 @@ def solve_ocp_timed_riccati(track: TrackSpline, rb: RobotData,
         times.set_qp += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        sol = _ipm_solve(rep, cfg)
+        sol = _ipm_solve(rep, cfg, warm_s, warm_lam)
         if cfg.do_SOC:
             rep_soc = _soc_rep_jit(rep, sol, z, track.length, params, solver)
-            sol = _ipm_solve(rep_soc, cfg)
+            if cfg.ipm_warm_start:
+                sol = _ipm_solve(rep_soc, cfg, _clip(sol.s_rows),
+                                 _clip(sol.lam_rows))
+            else:
+                sol = _ipm_solve(rep_soc, cfg)
+        if cfg.ipm_warm_start and not bool(jnp.any(jnp.isnan(sol.s_rows))):
+            warm_s, warm_lam = _clip(sol.s_rows), _clip(sol.lam_rows)
         step = qps.stage_step_to_dense(sol.dx_tilde, sol.du)
         jax.block_until_ready(step)
         times.solve_qp += time.perf_counter() - t0

@@ -21,3 +21,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite's cost is dominated by XLA CPU
+# compiles of the big jitted programs (mpc_step variants); repeat runs and
+# the subprocess-isolated tests hit the disk cache instead of recompiling.
+jax.config.update("jax_compilation_cache_dir", "/tmp/mpcc_jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

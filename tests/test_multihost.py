@@ -26,8 +26,7 @@ def test_two_process_cluster_runs_and_weak_scales():
     env = dict(os.environ)
     out = subprocess.run(
         [sys.executable, _SCRIPT, "--port", "29561", "--reps", "7"],
-
-        capture_output=True, text=True, timeout=1500, env=env)
+        capture_output=True, text=True, timeout=2700, env=env)
     assert out.returncode == 0, out.stdout + out.stderr
     line = [l for l in out.stdout.splitlines()
             if l.startswith('{"metric": "multiprocess_weak_scaling"')]
@@ -48,5 +47,8 @@ def test_two_process_cluster_runs_and_weak_scales():
     assert ops == {}, ops
     assert rep["multi_proc"]["collective_payload_bytes"] == 0, rep
 
-    # weak scaling on the virtual cluster (1 core + 1 device per process)
-    assert rep["efficiency"] >= 0.85, rep
+    # weak scaling on the virtual cluster (1 core + 1 device per process);
+    # the upper bound guards measurement sanity — an efficiency much above 1
+    # means the two phases were not comparable (r3 measured 1.39 from
+    # warm-up asymmetry), which would make the lower bound vacuous
+    assert 0.85 <= rep["efficiency"] <= 1.15, rep

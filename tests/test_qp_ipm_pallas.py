@@ -81,8 +81,14 @@ def test_pallas_ipm_matches_xla_reference(qp_batch, scheme):
                                                    scheme=scheme))(qp_s)
     sol = qp_ipm_pallas._solve_batched(qp_k, max_iter=25, interpret=True,
                                        scheme=scheme)
-    np.testing.assert_array_equal(np.asarray(ref.iters),
-                                  np.asarray(sol.iters))
+    # iteration counts: off-by-one tolerance.  The kernel's multiply+reduce
+    # contractions accumulate in a different order than XLA's matmuls
+    # (~2e-4 f32 step drift), so a lane landing within that drift of the
+    # mu/r_ineq thresholds can legitimately converge one iteration apart
+    # across jaxlib versions (ADVICE r3); verdicts and primal agreement
+    # stay strict.
+    assert int(np.max(np.abs(np.asarray(ref.iters)
+                             - np.asarray(sol.iters)))) <= 1
     np.testing.assert_array_equal(np.asarray(ref.solved),
                                   np.asarray(sol.solved))
     # float32 agreement: the kernel contracts tiny dims as multiply+reduce
@@ -125,7 +131,8 @@ def test_pallas_ipm_warm_start_matches_xla(qp_batch):
         q, max_iter=25, warm_s=a, warm_lam=b))(qp_s, ws, wl)
     sol = qp_ipm_pallas._solve_batched(qp_k, max_iter=25, interpret=True,
                                        warm_s=ws, warm_lam=wl)
-    np.testing.assert_array_equal(np.asarray(ref.iters), np.asarray(sol.iters))
+    assert int(np.max(np.abs(np.asarray(ref.iters)
+                             - np.asarray(sol.iters)))) <= 1
     assert bool(jnp.all(ref.solved)) and bool(jnp.all(sol.solved))
     assert float(jnp.max(jnp.abs(ref.du - sol.du))) < 1e-4
     # seeding from the solution must beat the cold iteration count

@@ -211,7 +211,11 @@ def test_ipm_warm_start_fewer_iters_same_trajectory(tmp_path):
     programs, this specific pair of mpc_step compilations reproducibly
     segfaults CPU XLA (passes standalone every time — an accumulated-state
     crash inside XLA, not a library bug; the pallas/riccati paths here are
-    pure jnp).  Process isolation keeps the suite immune."""
+    pure jnp).  Root-cause attempt + findings: tools/repro_cpu_segfault.py
+    (120-program compile pressure alone does NOT reproduce it — the crash
+    needs suite-scale allocator state).  Central mitigations: the conftest
+    persistent compilation cache (repeat runs skip the compiles) plus this
+    one subprocess isolation."""
     import subprocess
     import sys
 
