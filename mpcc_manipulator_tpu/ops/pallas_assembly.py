@@ -149,8 +149,22 @@ def _assembly_kernel(xs_ref, us_ref, cu_ref,
         """(9, B) -> (3, B); mirrors so3.log_rot / log_rot_vec branches."""
         tr = r[0] + r[4] + r[8]
         cos_th = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-        th = jnp.arctan2(jnp.sqrt(jnp.clip(1.0 - cos_th * cos_th, 0.0, None)),
-                         cos_th)
+        # so3.log_rot uses atan2(sqrt(1-c^2), c); Mosaic lowers NO inverse
+        # trig at all (atan2/acos/asin all unimplemented), so build arccos
+        # from supported primitives: the sqrt-series seed
+        # arccos(a) ~ sqrt(2u)(1 + u/12 + 3u^2/160 + 5u^3/896 + 35u^4/18432),
+        # u = 1-|a|, polished by two Newton steps on cos(th) = a (quadratic
+        # convergence; seed error <1e-4 -> result ~f32-exact).  Mirrored to
+        # [pi/2, pi] via arccos(-a) = pi - arccos(a).
+        a_c = jnp.abs(cos_th)
+        u_c = 1.0 - a_c
+        th = jnp.sqrt(2.0 * u_c) * (
+            1.0 + u_c * (1.0 / 12.0 + u_c * (3.0 / 160.0 + u_c * (
+                5.0 / 896.0 + u_c * (35.0 / 18432.0)))))
+        for _ in range(2):
+            s_n = jnp.maximum(jnp.sin(th), 1e-6)
+            th = th + (jnp.cos(th) - a_c) / s_n
+        th = jnp.where(cos_th < 0, np.float32(np.pi) - th, th)
         sin_th = jnp.sin(th)
         safe_sin = jnp.where(jnp.abs(sin_th) < _EPS, 1.0, sin_th)
         f = 0.5 * th / safe_sin
@@ -219,11 +233,16 @@ def _assembly_kernel(xs_ref, us_ref, cu_ref,
         # ---------- spline evaluation at s_k ----------
         s_raw = x_k[s_idx:s_idx + 1]          # (1, B)
         s_c = jnp.clip(s_raw, 0.0, length)
-        seg = jnp.clip((s_c / delta), 0.0, float(nseg - 2)).astype(jnp.int32)
-        dx = s_c - seg.astype(f32) * delta    # (1, B)
+        # float-only segment index: Mosaic rejects the f32->i32 truncation
+        # on sub-tile shapes ("Unsupported target bitwidth for truncation");
+        # floor + float-iota equality is exact for indices < 2^24
+        seg = jnp.floor(jnp.clip(s_c / delta, 0.0, float(nseg - 2)))
+        dx = s_c - seg * delta                # (1, B)
         at_end = s_c >= length                # (1, B) bool
 
-        oh = (jax.lax.broadcasted_iota(jnp.int32, (nseg, BT), 0)
+        # int iota (tpu.iota requires integer result) widened to f32 for
+        # the comparison against the float segment index
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (nseg, BT), 0).astype(f32)
               == seg).astype(f32)             # (nseg, B)
         csel = jax.lax.dot_general(
             ptbl_ref[:], oh, (((0,), (0,)), ((), ())),

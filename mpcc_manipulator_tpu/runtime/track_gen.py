@@ -57,8 +57,31 @@ def _resample_polyline(pts: np.ndarray, n: int) -> np.ndarray:
     return out[keep]
 
 
+def _smooth_polyline(pts: np.ndarray, window: int) -> np.ndarray:
+    """Boxcar-smooth an open polyline (reflected ends, endpoints pinned).
+
+    Font glyph outlines have exact corners; the reference's pen trace is
+    extracted from a VIDEO of handwriting (`track_from_letter.py`) and is
+    therefore naturally smooth.  A small moving average restores that
+    property — without it the arc-length spline turns each corner into a
+    curvature spike the closed-loop controller cannot track (measured r4:
+    the DYROS trace stalls mid-'O' at a cusp).
+    """
+    if window < 3:
+        return pts
+    pad = window // 2
+    ext = np.concatenate([pts[pad:0:-1], pts, pts[-2:-2 - pad:-1]], axis=0)
+    kern = np.ones(window) / window
+    sm = np.stack([np.convolve(ext[:, i], kern, mode="valid")
+                   for i in range(pts.shape[1])], axis=1)
+    sm = sm[: len(pts)]
+    sm[0], sm[-1] = pts[0], pts[-1]
+    return sm
+
+
 def letter_track(text: str = "DYROS", height: float = 0.25,
-                 n_points: int = 300, font: str | None = None) -> dict:
+                 n_points: int = 300, font: str | None = None,
+                 smooth_window: int = 7) -> dict:
     """Word-tracing track in the robot Y-Z plane (X = 0), constant flipped
     orientation — the same output convention as the reference's video tracer
     (`track_from_letter.py`: X=0, Y=horizontal, Z=vertical, quat=(1,0,0,0)).
@@ -76,6 +99,20 @@ def letter_track(text: str = "DYROS", height: float = 0.25,
     polys = [np.asarray(p) for p in tp.to_polygons() if len(p) >= 3]
     if not polys:
         raise ValueError(f"no glyph outlines for text {text!r}")
+    # Drop inner counters (the holes of D/O/R/...): a pen trace follows the
+    # letter shape once — tracing a ~2 cm-radius counter at demo scale is
+    # a curvature spike the contouring controller (correctly) cannot track
+    # at speed (measured r4: the DYROS loop stalls inside 'O').
+    from matplotlib.path import Path as _MplPath
+    outers = []
+    for p in polys:
+        centroid = p.mean(axis=0)
+        inside_other = any(
+            q is not p and _MplPath(q).contains_point(centroid)
+            for q in polys)
+        if not inside_other:
+            outers.append(p)
+    polys = outers or polys
     # left-to-right writing order
     polys.sort(key=lambda p: p[:, 0].min())
 
@@ -94,7 +131,13 @@ def letter_track(text: str = "DYROS", height: float = 0.25,
     # scale to the requested letter height, center at the origin
     span = pts[:, 1].max() - pts[:, 1].min()
     pts = (pts - pts.mean(axis=0)) * (height / span)
+    # resample fine -> smooth corners (handwriting-like, see
+    # _smooth_polyline) -> resample to the requested count; smoothing
+    # shaves the extrema a little, so restore the requested letter height
+    pts = _resample_polyline(pts, 4 * n_points)
+    pts = _smooth_polyline(pts, smooth_window * 4)
     pts = _resample_polyline(pts, n_points)
+    pts = pts * (height / (pts[:, 1].max() - pts[:, 1].min()))
 
     zeros = np.zeros(len(pts))
     quat = np.tile(np.array([1.0, 0.0, 0.0, 0.0]), (len(pts), 1))

@@ -143,29 +143,33 @@ def test_oscillating_obstacle_passed_with_margin(base):
     center = np.asarray(als.track_position(track, s_obs))
     # The RBF rows are discrete CBFs — HARD rate constraints on the robot's
     # motion toward the obstacle, so a pass window only exists while the
-    # sphere is more than the margin away from the crossing point.  The
-    # reference demo's sphere speed (0.05 m/s, `main_w_sim.py:46`) and a
+    # sphere is more than the margin away from the crossing point.  A slow
+    # sweep (reference sphere speed is 0.05 m/s, `main_w_sim.py:46`) and a
     # reduced tol_envcol (runtime override, the documented path) keep that
-    # window wide enough for the robot to traverse it.
-    z_half, speed = 0.18, 0.05              # m, m/s
+    # window wide enough for the robot to traverse it.  Geometry note
+    # (measured r4): the sphere must retreat OUT-OF-PLANE in +x (in front
+    # of the track plane) — sweeping below the path it passes through
+    # mid-arm links that cannot yield, and hovering above it it blocks the
+    # wrist, which rides above the flipped-down tool point.
+    x_half, speed = 0.15, 0.075             # m, m/s
     step = speed * TS
     tol_env = 4.0                            # cm (override)
     margin = tol_env + 1.2 * OBS_R
 
     def obs_path(t):
-        # triangle wave through the track point, starting at +z_half
-        # moving down: crosses the path at t ~ 360, clears by t ~ 512
-        phase = (step * t) % (4 * z_half)
-        dz = phase if phase <= 2 * z_half else 4 * z_half - phase
-        return center + np.asarray([0.0, 0.0, z_half - dz])
+        # triangle wave from +x_half down TO the track point and back out:
+        # blocks the crossing around t ~ 200, clears again by t ~ 300
+        phase = (step * t) % (4 * x_half)
+        dz = phase if phase <= 2 * x_half else 4 * x_half - phase
+        return center + np.asarray([abs(x_half - dz), 0.0, 0.0])
 
     env_min, sel_min, s_log = _run_logged(
         base, {"param": {"desired_ee_velocity": 0.25, "tol_envcol": tol_env}},
         1300, obs_path, OBS_R)
     # transient dips below the margin are physical while the SPHERE moves
-    # toward the robot (the CBF rows bound the robot's approach rate, and
-    # mid-arm links have little room to yield); no-contact is the hard
-    # floor (measured r4: the arm yields as the sphere sweeps through)
-    assert env_min.min() > OBS_R + 0.3, env_min.min()
+    # toward the robot (the CBF rows bound the robot's approach rate, not
+    # the obstacle's); a buffered no-contact floor is the hard invariant
+    # (measured r4: min center distance 3.60 cm vs the 3 cm radius)
+    assert env_min.min() > OBS_R + 0.4, env_min.min()
     assert s_log[-1] > s_obs + 0.02, (s_log[-1], s_obs)   # actually passed
     assert sel_min.min() >= TOL_SEL, sel_min.min()

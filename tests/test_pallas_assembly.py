@@ -49,7 +49,10 @@ def _problem(system):
     return params, sel_nn, env_nn, track, x0
 
 
-def _compare(system, s_values, obs, obs_r, atol=2e-4):
+def _compare(system, s_values, obs, obs_r, atol=5e-4):
+    # 5e-4 relative: same f32-equivalence grade as the IPM kernel tests;
+    # the kernel's arccos (series + Newton on cos, Mosaic has no inverse
+    # trig) and multiply+reduce contractions reorder f32 rounding vs XLA
     params, sel_nn, env_nn, track, x0 = _problem(system)
     rng = np.random.default_rng(7)
     B = len(s_values)
