@@ -300,7 +300,10 @@ def main():
         mani_grad=os.environ.get("MPCC_MANI_GRAD", "analytic"),
         ipm_scheme=os.environ.get("MPCC_IPM_SCHEME", "mehrotra"),
         ipm_warm_start=os.environ.get("MPCC_IPM_WARM", "1") == "1",
-        qp_assembly=os.environ.get("MPCC_QP_ASSEMBLY", "xla"),
+        # fused Pallas stage-QP assembly (ops/pallas_assembly.py): measured
+        # r4 at batch 1024 Panda, 31.1k -> 100.3k solves/s/chip
+        # (batched step 32.9 -> 10.2 ms); MPCC_QP_ASSEMBLY=xla to ablate
+        qp_assembly=os.environ.get("MPCC_QP_ASSEMBLY", "pallas"),
     )
 
     primary_name = os.environ.get("MPCC_SYSTEM", "panda")

@@ -65,6 +65,229 @@ _EPS = 1e-8       # so3._EPS
 _RBF_DELTA = -0.5
 
 
+# ---------------------------------------------------------------------
+# Shared per-lane math (module level so the values-only eval kernel below
+# reuses the exact same lowerings as the assembly kernel)
+# ---------------------------------------------------------------------
+
+
+def _rbf(h):
+    above = -jnp.log(jnp.maximum(h, _RBF_DELTA) + 1.0)
+    below = (-np.float32(np.log(_RBF_DELTA + 1.0))
+             - (h - _RBF_DELTA) / (_RBF_DELTA + 1.0)
+             + (h - _RBF_DELTA) ** 2 / (2.0 * (_RBF_DELTA + 1.0) ** 2))
+    return jnp.where(h >= _RBF_DELTA, above, below)
+
+
+def _drbf(h):
+    above = -1.0 / (jnp.maximum(h, _RBF_DELTA) + 1.0)
+    below = (-1.0 / (_RBF_DELTA + 1.0)
+             + (h - _RBF_DELTA) / (_RBF_DELTA + 1.0) ** 2)
+    return jnp.where(h >= _RBF_DELTA, above, below)
+
+
+def _mat33_mul(a, b):
+    """(9, B) @ (9, B) row-major 3x3 products."""
+    out = []
+    for i in range(3):
+        for j in range(3):
+            acc = a[3 * i + 0] * b[0 + j]
+            acc = acc + a[3 * i + 1] * b[3 + j]
+            acc = acc + a[3 * i + 2] * b[6 + j]
+            out.append(acc)
+    return jnp.stack(out, axis=0)
+
+
+def _mat33_T(a):
+    return jnp.stack([a[0], a[3], a[6], a[1], a[4], a[7],
+                      a[2], a[5], a[8]], axis=0)
+
+
+def _matvec33(a, v):
+    """(9, B) 3x3 @ (3, B)."""
+    return jnp.stack([
+        a[0] * v[0] + a[1] * v[1] + a[2] * v[2],
+        a[3] * v[0] + a[4] * v[1] + a[5] * v[2],
+        a[6] * v[0] + a[7] * v[1] + a[8] * v[2]], axis=0)
+
+
+def _exp_rot(w):
+    """Rodrigues, (3, B) -> (9, B); mirrors so3.exp_rot branches."""
+    f32 = jnp.float32
+    th2 = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+    th = jnp.sqrt(th2)
+    small = th < _EPS
+    safe_th = jnp.where(small, 1.0, th)
+    a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(safe_th) / safe_th)
+    b = jnp.where(small, 0.5 - th2 / 24.0,
+                  (1.0 - jnp.cos(safe_th)) / (safe_th * safe_th))
+    # E = I + a K + b K^2, K = hat(w), K^2 = w w^T - th^2 I
+    rows = []
+    wv = [w[0], w[1], w[2]]
+    k_mat = [[None, -wv[2], wv[1]], [wv[2], None, -wv[0]],
+             [-wv[1], wv[0], None]]
+    for i in range(3):
+        for j in range(3):
+            v = b * (wv[i] * wv[j])
+            if i == j:
+                v = v + 1.0 - b * th2
+            else:
+                v = v + a * k_mat[i][j]
+            rows.append(v)
+    return jnp.stack(rows, axis=0)
+
+
+def _log_rot_vec(r):
+    """(9, B) -> (3, B); mirrors so3.log_rot / log_rot_vec branches."""
+    tr = r[0] + r[4] + r[8]
+    cos_th = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    # so3.log_rot uses atan2(sqrt(1-c^2), c); Mosaic lowers NO inverse
+    # trig at all (atan2/acos/asin all unimplemented), so build arccos
+    # from supported primitives: the sqrt-series seed
+    # arccos(a) ~ sqrt(2u)(1 + u/12 + 3u^2/160 + 5u^3/896 + 35u^4/18432),
+    # u = 1-|a|, polished by two Newton steps on cos(th) = a (quadratic
+    # convergence; seed error <1e-4 -> result ~f32-exact).  Mirrored to
+    # [pi/2, pi] via arccos(-a) = pi - arccos(a).
+    a_c = jnp.abs(cos_th)
+    u_c = 1.0 - a_c
+    th = jnp.sqrt(2.0 * u_c) * (
+        1.0 + u_c * (1.0 / 12.0 + u_c * (3.0 / 160.0 + u_c * (
+            5.0 / 896.0 + u_c * (35.0 / 18432.0)))))
+    for _ in range(2):
+        s_n = jnp.maximum(jnp.sin(th), 1e-6)
+        th = th + (jnp.cos(th) - a_c) / s_n
+    th = jnp.where(cos_th < 0, np.float32(np.pi) - th, th)
+    sin_th = jnp.sin(th)
+    safe_sin = jnp.where(jnp.abs(sin_th) < _EPS, 1.0, sin_th)
+    f = 0.5 * th / safe_sin
+    # vee(R - R^T) components
+    v0, v1, v2 = r[7] - r[5], r[2] - r[6], r[3] - r[1]
+    gen = jnp.stack([f * v0, f * v1, f * v2], axis=0)
+    nid = jnp.stack([0.5 * v0, 0.5 * v1, 0.5 * v2], axis=0)
+    # near-pi: axis from diagonal, signs from the argmax row
+    a_abs = jnp.stack([
+        jnp.sqrt(jnp.clip((r[0] + 1.0) * 0.5, 0.0, None)),
+        jnp.sqrt(jnp.clip((r[4] + 1.0) * 0.5, 0.0, None)),
+        jnp.sqrt(jnp.clip((r[8] + 1.0) * 0.5, 0.0, None))], axis=0)
+    m0 = (a_abs[0] >= a_abs[1]) & (a_abs[0] >= a_abs[2])
+    m1 = (~m0) & (a_abs[1] >= a_abs[2])
+    axis = []
+    for i in range(3):
+        # (r[k, i] + r[i, k]) / 2 for the lane's argmax k
+        c0 = (r[0 + i] + r[3 * i + 0]) * 0.5
+        c1 = (r[3 + i] + r[3 * i + 1]) * 0.5
+        c2 = (r[6 + i] + r[3 * i + 2]) * 0.5
+        ck = jnp.where(m0, c0, jnp.where(m1, c1, c2))
+        # f32 indicator (Mosaic rejects i1-vector truncations from
+        # mixed python-bool where operands)
+        is_k = jnp.where(m0, 1.0 if i == 0 else 0.0,
+                         jnp.where(m1, 1.0 if i == 1 else 0.0,
+                                   1.0 if i == 2 else 0.0))
+        sign = jnp.sign(ck)
+        sign = jnp.where(sign == 0, 1.0, sign)
+        sign = jnp.where(is_k > 0.5, 1.0, sign)
+        axis.append(a_abs[i] * sign)
+    an = jnp.sqrt(axis[0] ** 2 + axis[1] ** 2 + axis[2] ** 2)
+    an = jnp.maximum(an, _EPS)
+    pi_vec = jnp.stack([axis[0] / an * th, axis[1] / an * th,
+                        axis[2] / an * th], axis=0)
+    out = jnp.where(th < 1e-6, nid, gen)
+    return jnp.where(np.float32(np.pi) - th < 1e-4, pi_vec, out)
+
+
+def _jr_inv_k(phi, jr_sign):
+    """Right-Jacobian inverse, (3, B) -> (9, B); sign per so3 variant."""
+    n2 = phi[0] * phi[0] + phi[1] * phi[1] + phi[2] * phi[2]
+    n = jnp.sqrt(n2)
+    small = n < _EPS
+    safe_n = jnp.where(small, 1.0, n)
+    safe_n2 = jnp.where(small, 1.0, n2)
+    sin_n = jnp.sin(safe_n)
+    safe_sin = jnp.where(jnp.abs(sin_n) < _EPS, 1.0, sin_n)
+    coef = (1.0 / safe_n2
+            + jr_sign * (1.0 + jnp.cos(safe_n)) / (2.0 * safe_n * safe_sin))
+    pv = [phi[0], phi[1], phi[2]]
+    k_mat = [[None, -pv[2], pv[1]], [pv[2], None, -pv[0]],
+             [-pv[1], pv[0], None]]
+    rows = []
+    for i in range(3):
+        for j in range(3):
+            v = coef * (pv[i] * pv[j])
+            if i == j:
+                v = v + 1.0 - coef * n2
+            else:
+                v = v + 0.5 * k_mat[i][j]
+            v = jnp.where(small, 1.0 if i == j else 0.0, v)
+            rows.append(v)
+    return jnp.stack(rows, axis=0)
+
+
+def _track_eval(s_state, ptbl_ref, rtbl_ref, sc, nseg, with_normal=True,
+                with_drot=True):
+    """Track evaluation at one knot's s for all lanes.
+
+    Returns ``(s_raw, s_c, at_end, p_ref, tangent, normal, r_ref, dr_ref)``
+    ((1,B), (1,B), bool (1,B), (3,B), (3,B), (3,B)|None, (9,B), (3,B)|None).
+    """
+    f32 = jnp.float32
+    delta, length = sc("delta"), sc("length")
+    s_raw = s_state                       # (1, B)
+    s_c = jnp.clip(s_raw, 0.0, length)
+    # float-only segment index: Mosaic rejects the f32->i32 truncation
+    # on sub-tile shapes ("Unsupported target bitwidth for truncation");
+    # floor + float-iota equality is exact for indices < 2^24
+    seg = jnp.floor(jnp.clip(s_c / delta, 0.0, float(nseg - 2)))
+    dx = s_c - seg * delta                # (1, B)
+    at_end = s_c >= length                # (1, B) bool
+
+    # int iota (tpu.iota requires integer result) widened to f32 for
+    # the comparison against the float segment index
+    BTl = s_state.shape[-1]
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (nseg, BTl), 0).astype(f32)
+          == seg).astype(f32)             # (nseg, B)
+    csel = jax.lax.dot_general(
+        ptbl_ref[:], oh, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)        # (12, B)
+    rsel = jax.lax.dot_general(
+        rtbl_ref[:], oh[:nseg - 1], (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)        # (14, B)
+
+    dx2 = dx * dx
+    dx3 = dx2 * dx
+    p_ref, tangent, normal = [], [], []
+    a_last = [sc("ax_last"), sc("ay_last"), sc("az_last")]
+    for ch in range(3):
+        a, b, c, d = (csel[4 * ch], csel[4 * ch + 1],
+                      csel[4 * ch + 2], csel[4 * ch + 3])
+        val = a + b * dx[0] + c * dx2[0] + d * dx3[0]
+        der = b + 2.0 * c * dx[0] + 3.0 * d * dx2[0]
+        p_ref.append(jnp.where(at_end[0], a_last[ch], val))
+        tangent.append(jnp.where(at_end[0], 0.0, der))
+        if with_normal:
+            sec = 2.0 * c + 6.0 * d * dx[0]
+            normal.append(jnp.where(at_end[0], 0.0, sec))
+    p_ref = jnp.stack(p_ref, axis=0)       # (3, B)
+    tangent = jnp.stack(tangent, axis=0)
+    normal = jnp.stack(normal, axis=0) if with_normal else None
+
+    # SO(3) reference orientation (+ derivative as angular-velocity vector)
+    r_i = rsel[:9]                         # (9, B)
+    omega = rsel[9:12]
+    cc = rsel[12:13]
+    dd = rsel[13:14]
+    blend = cc * dx2 + dd * dx3            # (1, B)
+    e_exp = _exp_rot(omega * blend)
+    r_ref = _mat33_mul(r_i, e_exp)         # (9, B)
+    r_last = jnp.stack([sc(f"r_last_{i}")
+                        + jnp.zeros((BTl,), f32) for i in range(9)], axis=0)
+    r_ref = jnp.where(at_end, r_last, r_ref)
+    dr_ref = None
+    if with_drot:
+        dblend = 2.0 * cc * dx + 3.0 * dd * dx2
+        dr_ref = jnp.where(at_end, 0.0, omega * dblend)   # (3, B)
+    return s_raw, s_c, at_end, p_ref, tangent, normal, r_ref, dr_ref
+
+
 def _assembly_kernel(xs_ref, us_ref, cu_ref,
                      eep_ref, eer_ref, jv_ref, jw_ref,
                      mani_ref, dmani_ref, sel_ref, dsel_ref,
@@ -86,143 +309,12 @@ def _assembly_kernel(xs_ref, us_ref, cu_ref,
     tu = tu_ref[:]            # (nu, 1)
     tudq = tu[:dof]           # (dof, 1)
 
-    def rbf(h):
-        above = -jnp.log(jnp.maximum(h, _RBF_DELTA) + 1.0)
-        below = (-np.float32(np.log(_RBF_DELTA + 1.0))
-                 - (h - _RBF_DELTA) / (_RBF_DELTA + 1.0)
-                 + (h - _RBF_DELTA) ** 2 / (2.0 * (_RBF_DELTA + 1.0) ** 2))
-        return jnp.where(h >= _RBF_DELTA, above, below)
+    # shared per-lane math (module level; also used by the eval kernel)
+    rbf, drbf = _rbf, _drbf
+    mat33_mul, mat33_T, matvec33 = _mat33_mul, _mat33_T, _matvec33
 
-    def drbf(h):
-        above = -1.0 / (jnp.maximum(h, _RBF_DELTA) + 1.0)
-        below = (-1.0 / (_RBF_DELTA + 1.0)
-                 + (h - _RBF_DELTA) / (_RBF_DELTA + 1.0) ** 2)
-        return jnp.where(h >= _RBF_DELTA, above, below)
-
-    def mat33_mul(a, b):
-        """(9, B) @ (9, B) row-major 3x3 products."""
-        out = []
-        for i in range(3):
-            for j in range(3):
-                acc = a[3 * i + 0] * b[0 + j]
-                acc = acc + a[3 * i + 1] * b[3 + j]
-                acc = acc + a[3 * i + 2] * b[6 + j]
-                out.append(acc)
-        return jnp.stack(out, axis=0)
-
-    def mat33_T(a):
-        return jnp.stack([a[0], a[3], a[6], a[1], a[4], a[7],
-                          a[2], a[5], a[8]], axis=0)
-
-    def matvec33(a, v):
-        """(9, B) 3x3 @ (3, B)."""
-        return jnp.stack([
-            a[0] * v[0] + a[1] * v[1] + a[2] * v[2],
-            a[3] * v[0] + a[4] * v[1] + a[5] * v[2],
-            a[6] * v[0] + a[7] * v[1] + a[8] * v[2]], axis=0)
-
-    def exp_rot(w):
-        """Rodrigues, (3, B) -> (9, B); mirrors so3.exp_rot branches."""
-        th2 = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
-        th = jnp.sqrt(th2)
-        small = th < _EPS
-        safe_th = jnp.where(small, 1.0, th)
-        a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(safe_th) / safe_th)
-        b = jnp.where(small, 0.5 - th2 / 24.0,
-                      (1.0 - jnp.cos(safe_th)) / (safe_th * safe_th))
-        # E = I + a K + b K^2, K = hat(w), K^2 = w w^T - th^2 I
-        rows = []
-        wv = [w[0], w[1], w[2]]
-        k_mat = [[None, -wv[2], wv[1]], [wv[2], None, -wv[0]],
-                 [-wv[1], wv[0], None]]
-        for i in range(3):
-            for j in range(3):
-                v = b * (wv[i] * wv[j])
-                if i == j:
-                    v = v + 1.0 - b * th2
-                else:
-                    v = v + a * k_mat[i][j]
-                rows.append(v)
-        return jnp.stack(rows, axis=0)
-
-    def log_rot_vec(r):
-        """(9, B) -> (3, B); mirrors so3.log_rot / log_rot_vec branches."""
-        tr = r[0] + r[4] + r[8]
-        cos_th = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-        # so3.log_rot uses atan2(sqrt(1-c^2), c); Mosaic lowers NO inverse
-        # trig at all (atan2/acos/asin all unimplemented), so build arccos
-        # from supported primitives: the sqrt-series seed
-        # arccos(a) ~ sqrt(2u)(1 + u/12 + 3u^2/160 + 5u^3/896 + 35u^4/18432),
-        # u = 1-|a|, polished by two Newton steps on cos(th) = a (quadratic
-        # convergence; seed error <1e-4 -> result ~f32-exact).  Mirrored to
-        # [pi/2, pi] via arccos(-a) = pi - arccos(a).
-        a_c = jnp.abs(cos_th)
-        u_c = 1.0 - a_c
-        th = jnp.sqrt(2.0 * u_c) * (
-            1.0 + u_c * (1.0 / 12.0 + u_c * (3.0 / 160.0 + u_c * (
-                5.0 / 896.0 + u_c * (35.0 / 18432.0)))))
-        for _ in range(2):
-            s_n = jnp.maximum(jnp.sin(th), 1e-6)
-            th = th + (jnp.cos(th) - a_c) / s_n
-        th = jnp.where(cos_th < 0, np.float32(np.pi) - th, th)
-        sin_th = jnp.sin(th)
-        safe_sin = jnp.where(jnp.abs(sin_th) < _EPS, 1.0, sin_th)
-        f = 0.5 * th / safe_sin
-        # vee(R - R^T) components
-        v0, v1, v2 = r[7] - r[5], r[2] - r[6], r[3] - r[1]
-        gen = jnp.stack([f * v0, f * v1, f * v2], axis=0)
-        nid = jnp.stack([0.5 * v0, 0.5 * v1, 0.5 * v2], axis=0)
-        # near-pi: axis from diagonal, signs from the argmax row
-        a_abs = jnp.stack([
-            jnp.sqrt(jnp.clip((r[0] + 1.0) * 0.5, 0.0, None)),
-            jnp.sqrt(jnp.clip((r[4] + 1.0) * 0.5, 0.0, None)),
-            jnp.sqrt(jnp.clip((r[8] + 1.0) * 0.5, 0.0, None))], axis=0)
-        m0 = (a_abs[0] >= a_abs[1]) & (a_abs[0] >= a_abs[2])
-        m1 = (~m0) & (a_abs[1] >= a_abs[2])
-        axis = []
-        for i in range(3):
-            # (r[k, i] + r[i, k]) / 2 for the lane's argmax k
-            c0 = (r[0 + i] + r[3 * i + 0]) * 0.5
-            c1 = (r[3 + i] + r[3 * i + 1]) * 0.5
-            c2 = (r[6 + i] + r[3 * i + 2]) * 0.5
-            ck = jnp.where(m0, c0, jnp.where(m1, c1, c2))
-            is_k = jnp.where(m0, i == 0, jnp.where(m1, i == 1, i == 2))
-            sign = jnp.sign(ck)
-            sign = jnp.where(sign == 0, 1.0, sign)
-            sign = jnp.where(is_k, 1.0, sign)
-            axis.append(a_abs[i] * sign)
-        an = jnp.sqrt(axis[0] ** 2 + axis[1] ** 2 + axis[2] ** 2)
-        an = jnp.maximum(an, _EPS)
-        pi_vec = jnp.stack([axis[0] / an * th, axis[1] / an * th,
-                            axis[2] / an * th], axis=0)
-        out = jnp.where(th < 1e-6, nid, gen)
-        return jnp.where(np.float32(np.pi) - th < 1e-4, pi_vec, out)
-
-    def jr_inv(phi):
-        """Right-Jacobian inverse, (3, B) -> (9, B); sign per so3 variant."""
-        n2 = phi[0] * phi[0] + phi[1] * phi[1] + phi[2] * phi[2]
-        n = jnp.sqrt(n2)
-        small = n < _EPS
-        safe_n = jnp.where(small, 1.0, n)
-        safe_n2 = jnp.where(small, 1.0, n2)
-        sin_n = jnp.sin(safe_n)
-        safe_sin = jnp.where(jnp.abs(sin_n) < _EPS, 1.0, sin_n)
-        coef = (1.0 / safe_n2
-                + jr_sign * (1.0 + jnp.cos(safe_n)) / (2.0 * safe_n * safe_sin))
-        pv = [phi[0], phi[1], phi[2]]
-        k_mat = [[None, -pv[2], pv[1]], [pv[2], None, -pv[0]],
-                 [-pv[1], pv[0], None]]
-        rows = []
-        for i in range(3):
-            for j in range(3):
-                v = coef * (pv[i] * pv[j])
-                if i == j:
-                    v = v + 1.0 - coef * n2
-                else:
-                    v = v + 0.5 * k_mat[i][j]
-                v = jnp.where(small, 1.0 if i == j else 0.0, v)
-                rows.append(v)
-        return jnp.stack(rows, axis=0)
+    jr_inv = functools.partial(_jr_inv_k, jr_sign=jr_sign)
+    exp_rot, log_rot_vec = _exp_rot, _log_rot_vec  # noqa: F841 (aliases)
 
     # ---- per-knot sweep (static unroll; knot N is the terminal knot)
     for k in range(N + 1):
@@ -230,57 +322,10 @@ def _assembly_kernel(xs_ref, us_ref, cu_ref,
         x_k = xs_ref[k]                       # (nx, B)
         u_k = us_ref[k] if not term else jnp.zeros((nu, BT), f32)
 
-        # ---------- spline evaluation at s_k ----------
-        s_raw = x_k[s_idx:s_idx + 1]          # (1, B)
-        s_c = jnp.clip(s_raw, 0.0, length)
-        # float-only segment index: Mosaic rejects the f32->i32 truncation
-        # on sub-tile shapes ("Unsupported target bitwidth for truncation");
-        # floor + float-iota equality is exact for indices < 2^24
-        seg = jnp.floor(jnp.clip(s_c / delta, 0.0, float(nseg - 2)))
-        dx = s_c - seg * delta                # (1, B)
-        at_end = s_c >= length                # (1, B) bool
-
-        # int iota (tpu.iota requires integer result) widened to f32 for
-        # the comparison against the float segment index
-        oh = (jax.lax.broadcasted_iota(jnp.int32, (nseg, BT), 0).astype(f32)
-              == seg).astype(f32)             # (nseg, B)
-        csel = jax.lax.dot_general(
-            ptbl_ref[:], oh, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)        # (12, B)
-        rsel = jax.lax.dot_general(
-            rtbl_ref[:], oh[:nseg - 1], (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)        # (14, B)
-
-        dx2 = dx * dx
-        dx3 = dx2 * dx
-        p_ref, tangent, normal = [], [], []
-        a_last = [sc("ax_last"), sc("ay_last"), sc("az_last")]
-        for ch in range(3):
-            a, b, c, d = (csel[4 * ch], csel[4 * ch + 1],
-                          csel[4 * ch + 2], csel[4 * ch + 3])
-            val = a + b * dx[0] + c * dx2[0] + d * dx3[0]
-            der = b + 2.0 * c * dx[0] + 3.0 * d * dx2[0]
-            sec = 2.0 * c + 6.0 * d * dx[0]
-            p_ref.append(jnp.where(at_end[0], a_last[ch], val))
-            tangent.append(jnp.where(at_end[0], 0.0, der))
-            normal.append(jnp.where(at_end[0], 0.0, sec))
-        p_ref = jnp.stack(p_ref, axis=0)       # (3, B)
-        tangent = jnp.stack(tangent, axis=0)
-        normal = jnp.stack(normal, axis=0)
-
-        # SO(3) reference orientation + derivative (angular-velocity vector)
-        r_i = rsel[:9]                         # (9, B)
-        omega = rsel[9:12]
-        cc = rsel[12:13]
-        dd = rsel[13:14]
-        blend = cc * dx2 + dd * dx3            # (1, B)
-        e_exp = exp_rot(omega * blend)
-        r_ref = mat33_mul(r_i, e_exp)          # (9, B)
-        r_last = jnp.stack([sc(f"r_last_{i}")
-                            + jnp.zeros((BT,), f32) for i in range(9)], axis=0)
-        r_ref = jnp.where(at_end, r_last, r_ref)
-        dblend = 2.0 * cc * dx + 3.0 * dd * dx2
-        dr_ref = jnp.where(at_end, 0.0, omega * dblend)   # (3, B)
+        # ---------- track evaluation at s_k (shared helper) ----------
+        (s_raw, s_c, at_end, p_ref, tangent, normal, r_ref,
+         dr_ref) = _track_eval(x_k[s_idx:s_idx + 1], ptbl_ref, rtbl_ref,
+                               sc, nseg)
 
         # ---------- heading linearization ----------
         r_cur = eer_ref[k]                     # (9, B) row-major
@@ -699,3 +744,264 @@ def build_qp_stages_k_pallas(track: TrackSpline, z: jnp.ndarray,
         interpret = jax.default_backend() not in ("tpu", "axon")
     return make_pallas_assembly(system, float(ts), exact_heading_jac,
                                 interpret)(track, z, rb, params, current_u)
+
+
+# ---------------------------------------------------------------------
+# Values-only evaluation kernel: objective + constraint-violation norm
+# (the line-search trial, `sqp.solve_ocp.eval_point`) in one launch
+# ---------------------------------------------------------------------
+
+
+def _eval_kernel(xs_ref, us_ref, cu_ref,
+                 eep_ref, eer_ref, mani_ref, dmani_ref, sel_ref, dsel_ref,
+                 env_ref, denv_ref, obsr_ref,
+                 ptbl_ref, rtbl_ref, sc_ref,
+                 tx_ref, xl_ref, xu_ref, ul_ref, uu_ref,
+                 ddql_ref, ddqu_ref,
+                 obj_out, vio_out,
+                 *, nx, nu, dof, npc, ts, nseg):
+    """Stage objective + l1 violation of all rows at the iterate.
+
+    Mirrors `qp_data.total_objective` + `constraint_values` +
+    `sqp.constraint_norm` exactly: eq rows contribute |defect| (l = u = 0),
+    box/rate rows their one-sided overshoots, polytopic rows max(c, 0)
+    (upper 0, lower -inf; terminal rows are identically 0).
+    """
+    f32 = jnp.float32
+    s_idx, vs_idx, dvs_idx = dof, dof + 1, dof
+    sc = lambda k: sc_ref[_SC[k], 0]
+    length = sc("length")
+    tx = tx_ref[:]                            # (nx, 1)
+    tx_inv = 1.0 / tx
+
+    obj = jnp.zeros((1, BT), f32)
+    vio = jnp.zeros((1, BT), f32)
+
+    for k in range(N + 1):
+        term = k == N
+        x_k = xs_ref[k]
+        u_k = us_ref[k] if not term else jnp.zeros((nu, BT), f32)
+
+        (s_raw, s_c, at_end, p_ref, tangent, _, r_ref,
+         _) = _track_eval(x_k[s_idx:s_idx + 1], ptbl_ref, rtbl_ref,
+                          sc, nseg, with_normal=False, with_drot=False)
+
+        # ---- scheduled weights / desired velocity (same as assembly)
+        sel_d = sel_ref[k]
+        mani = mani_ref[k]
+        ratio = jnp.minimum(sel_d / (sc("tol_selcol") * 2.0),
+                            mani / (sc("tol_sing") * 2.0))
+        tblend = (ratio - 0.5) / 0.5
+        bl = 3.0 * tblend * tblend - 2.0 * tblend * tblend * tblend
+        near = ratio <= 1.0
+        q_c0, q_l0, q_o0 = sc("q_c"), sc("q_l"), sc("q_ori")
+        q_c = jnp.where(near, q_c0 * (sc("q_c_red_ratio")
+                                      + (1.0 - sc("q_c_red_ratio")) * bl),
+                        q_c0)
+        q_l = jnp.where(near, q_l0 * (sc("q_l_inc_ratio")
+                                      + (1.0 - sc("q_l_inc_ratio")) * bl),
+                        q_l0)
+        q_ori = jnp.where(near, q_o0 * (sc("q_ori_red_ratio")
+                                        + (1.0 - sc("q_ori_red_ratio")) * bl),
+                          q_o0)
+        qc_k = sc("q_c_N_mult") * q_c if term else q_c
+
+        v_des0 = sc("v_des")
+        taper = -v_des0 / (length * sc("deacc_ratio")) * (s_raw - length)
+        v_des = jnp.where(s_raw < length * sc("deacc_ratio"), v_des0, taper)
+        dv = x_k[vs_idx:vs_idx + 1] - v_des
+
+        # ---- objective terms
+        e_tot = eep_ref[k] - p_ref
+        te = (tangent[0] * e_tot[0] + tangent[1] * e_tot[1]
+              + tangent[2] * e_tot[2])[None]
+        lag = tangent * te
+        cont = e_tot - lag
+        cont2 = (cont[0] * cont[0] + cont[1] * cont[1]
+                 + cont[2] * cont[2])[None]
+        lag2 = (lag[0] * lag[0] + lag[1] * lag[1] + lag[2] * lag[2])[None]
+        r_bar = _mat33_mul(_mat33_T(r_ref), eer_ref[k])
+        log_v = _log_rot_vec(r_bar)
+        log2 = (log_v[0] * log_v[0] + log_v[1] * log_v[1]
+                + log_v[2] * log_v[2])[None]
+        obj = obj + qc_k * cont2 + q_l * lag2 + q_ori * log2 \
+            + sc("q_vs") * dv * dv - sc("q_sing") * mani
+        if not term:
+            dq_k = u_k[:dof]
+            obj = obj + (sc("r_dq") * jnp.sum(dq_k * dq_k, axis=0)[None]
+                         + sc("r_dVs") * u_k[dvs_idx:dvs_idx + 1] ** 2)
+            if k >= 1:
+                ddq = dq_k - us_ref[k - 1][:dof]
+                obj = obj + sc("r_ddq_w") * jnp.sum(ddq * ddq, axis=0)[None]
+
+        # ---- violation rows
+        # state box (the s row uses the trust region around THIS knot's s)
+        s1 = x_k[s_idx:s_idx + 1]
+        bx_u = jnp.concatenate(
+            [xu_ref[:s_idx] + jnp.zeros((1, BT), f32),
+             jnp.minimum(s1 + sc("s_trust"), length),
+             xu_ref[s_idx + 1:] + jnp.zeros((1, BT), f32)], axis=0)
+        bx_l = jnp.concatenate(
+            [xl_ref[:s_idx] + jnp.zeros((1, BT), f32),
+             jnp.maximum(s1 - sc("s_trust"), 0.0),
+             xl_ref[s_idx + 1:] + jnp.zeros((1, BT), f32)], axis=0)
+        vio = vio + (jnp.sum(jnp.maximum(bx_l - x_k, 0.0)
+                             + jnp.maximum(x_k - bx_u, 0.0), axis=0)[None])
+
+        if term:
+            continue
+
+        # dynamics defect of the transition k -> k+1 (rows l = u = 0)
+        x_next = xs_ref[k + 1]
+        pred_q = x_k[:dof] + ts * u_k[:dof]
+        pred_s = (x_k[s_idx:s_idx + 1] + ts * x_k[vs_idx:vs_idx + 1]
+                  + 0.5 * ts * ts * u_k[dvs_idx:dvs_idx + 1])
+        pred_vs = x_k[vs_idx:vs_idx + 1] + ts * u_k[dvs_idx:dvs_idx + 1]
+        pred = jnp.concatenate([pred_q, pred_s, pred_vs], axis=0)
+        vio = vio + jnp.sum(jnp.abs((x_next - pred) * tx_inv), axis=0)[None]
+
+        # input box
+        vio = vio + jnp.sum(jnp.maximum(ul_ref[:] - u_k, 0.0)
+                            + jnp.maximum(u_k - uu_ref[:], 0.0), axis=0)[None]
+
+        # ddq rate rows
+        dq_prev = cu_ref[:dof] if k == 0 else us_ref[k - 1][:dof]
+        rate = (u_k[:dof] - dq_prev) * (1.0 / ts)
+        vio = vio + jnp.sum(jnp.maximum(ddql_ref[:] - rate, 0.0)
+                            + jnp.maximum(rate - ddqu_ref[:], 0.0),
+                            axis=0)[None]
+
+        # polytopic rows (upper 0, lower -inf -> one-sided)
+        dq_u = u_k[:dof]
+        selh = 0.01 * sel_d - 0.01 * sc("tol_selcol")
+        d_sel = 0.01 * dsel_ref[k]
+        c_sel = (-jnp.sum(d_sel * dq_u, axis=0)[None] + _rbf(selh))
+        singh = mani - sc("tol_sing")
+        c_sing = (-jnp.sum(dmani_ref[k] * dq_u, axis=0)[None] + _rbf(singh))
+        envh = (0.01 * (env_ref[k] - 1.2 * obsr_ref[:])
+                - 0.01 * sc("tol_envcol"))
+        d_env = 0.01 * denv_ref[k].reshape(npc - 2, dof, BT)
+        c_env = (-jnp.sum(d_env * dq_u[None], axis=1) + _rbf(envh))
+        vio = vio + (jnp.maximum(c_sel, 0.0) + jnp.maximum(c_sing, 0.0)
+                     + jnp.sum(jnp.maximum(c_env, 0.0), axis=0)[None])
+
+    obj_out[:] = obj
+    vio_out[:] = vio
+
+
+@functools.partial(jax.jit, static_argnames=("system", "ts", "interpret"))
+def _eval_batched(track: TrackSpline, z_b: jnp.ndarray, rb_b: RobotData,
+                  params: MPCCParams, cu_b: jnp.ndarray, ts: float,
+                  system: System = PANDA, interpret: bool = False):
+    """Batched (obj, violation) at iterates ``z_b`` (b, n_var)."""
+    nx, nu, dof, npc = system.nx, system.nu, system.dof, system.npc
+    b = z_b.shape[0]
+    f32 = jnp.float32
+    in_dtype = z_b.dtype
+
+    xs = z_b[:, :nx * (N + 1)].reshape(b, N + 1, nx).astype(f32)
+    us = z_b[:, nx * (N + 1):].reshape(b, N, nu).astype(f32)
+    bl = lambda a: jnp.moveaxis(a.astype(f32), 0, -1)
+    nl = system.num_links
+    inputs = [
+        bl(xs), bl(us), bl(cu_b),
+        bl(rb_b.ee_pos), bl(rb_b.ee_rot.reshape(b, N + 1, 9)),
+        bl(rb_b.manipul[..., None]), bl(rb_b.d_manipul),
+        bl(rb_b.sel_dist[..., None]), bl(rb_b.d_sel_dist),
+        bl(rb_b.env_dist), bl(rb_b.d_env_dist.reshape(b, N + 1, nl * dof)),
+        jnp.broadcast_to(
+            jnp.reshape(rb_b.obs_radius.astype(f32), (b,))[None, :], (1, b)),
+    ]
+    nseg = track.sx.a.shape[0]
+    ptbl = jnp.stack([track.sx.a, track.sx.b, track.sx.c, track.sx.d,
+                      track.sy.a, track.sy.b, track.sy.c, track.sy.d,
+                      track.sz.a, track.sz.b, track.sz.c, track.sz.d],
+                     axis=1).astype(f32)
+    m = nseg - 1
+    rtbl = jnp.concatenate([track.sr.r[:m].reshape(m, 9), track.sr.omega,
+                            track.sr.c[:, None], track.sr.d[:, None]],
+                           axis=1).astype(f32)
+    sc_vec = _pack_scalars(track, params, f32)
+    bnd = params.bounds
+    shared = [ptbl, rtbl, sc_vec,
+              params.normalization.t_x.astype(f32)[:, None],
+              bnd.x_l.astype(f32)[:, None], bnd.x_u.astype(f32)[:, None],
+              bnd.u_l.astype(f32)[:, None], bnd.u_u.astype(f32)[:, None],
+              bnd.ddq_l.astype(f32)[:, None], bnd.ddq_u.astype(f32)[:, None]]
+
+    b_pad = ((b + BT - 1) // BT) * BT
+    if b_pad != b:
+        inputs = [jnp.concatenate(
+            [a, jnp.repeat(a[..., :1], b_pad - b, axis=-1)], axis=-1)
+            for a in inputs]
+    n_tiles = b_pad // BT
+
+    def spec(a):
+        shape = a.shape[:-1] + (BT,)
+        nlead = len(shape) - 1
+        return pl.BlockSpec(shape, lambda i, _n=nlead: (0,) * _n + (i,),
+                            memory_space=pltpu.VMEM)
+
+    def shared_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = [jax.ShapeDtypeStruct((1, b_pad), f32),
+                  jax.ShapeDtypeStruct((1, b_pad), f32)]
+    kern = functools.partial(_eval_kernel, nx=nx, nu=nu, dof=dof, npc=npc,
+                             ts=float(ts), nseg=nseg)
+    obj, vio = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[spec(a) for a in inputs] + [shared_spec(a) for a in shared],
+        out_shape=out_shapes,
+        out_specs=[spec(jnp.zeros(s.shape)) for s in out_shapes],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*inputs, *shared)
+    return (obj[0, :b].astype(in_dtype), vio[0, :b].astype(in_dtype))
+
+
+_EVAL_CACHE: dict = {}
+
+
+def make_pallas_eval(system: System = PANDA, ts: float = 0.01,
+                     interpret: bool = False):
+    """Build (and cache) the custom-vmap values-only eval for a system."""
+    key = (system.name, float(ts), interpret)
+    if key in _EVAL_CACHE:
+        return _EVAL_CACHE[key]
+
+    @jax.custom_batching.custom_vmap
+    def ev(track, z, rb, params, current_u):
+        o, v = _eval_batched(track, z[None],
+                             jax.tree.map(lambda a: a[None], rb),
+                             params, current_u[None], ts, system, interpret)
+        return o[0], v[0]
+
+    @ev.def_vmap
+    def _vmap_rule(axis_size, in_batched, track, z, rb, params, current_u):
+        bc = lambda a, isb: a if isb else jnp.broadcast_to(
+            a[None], (axis_size,) + a.shape)
+        rb_b = jax.tree.map(bc, rb, in_batched[2])
+        o, v = _eval_batched(track, bc(z, in_batched[1]), rb_b, params,
+                             bc(current_u, in_batched[4]), ts, system,
+                             interpret)
+        return (o, v), (True, True)
+
+    _EVAL_CACHE[key] = ev
+    return ev
+
+
+def eval_point_pallas(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
+                      params: MPCCParams, current_u: jnp.ndarray, ts,
+                      system: System = PANDA,
+                      interpret: bool | None = None):
+    """(objective, l1 violation) at ``z`` — kernel replacement for the
+    line-search evaluation (`total_objective` + `constraint_values` +
+    `constraint_norm`)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    return make_pallas_eval(system, float(ts), interpret)(
+        track, z, rb, params, current_u)

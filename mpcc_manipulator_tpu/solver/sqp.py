@@ -358,6 +358,13 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
                 qp_it + qp_iters_used, done_new, qp_x, qp_y, ipm_s, ipm_lam)
 
     def eval_point(z):
+        if cfg.qp_solver == "riccati_pallas" and cfg.qp_assembly == "pallas":
+            # values-only kernel: the whole line-search trial (objective +
+            # l1 violation) in one launch (ops/pallas_assembly.py)
+            from ..ops import pallas_assembly as pasm
+            return pasm.eval_point_pallas(track, z, rb, params, current_u,
+                                          ts, system=system,
+                                          interpret=cfg.ipm_interpret)
         obj = qp_data.total_objective(track, z, rb, params, exact_heading_jac,
                                       system=system)
         constr, l, u = qp_data.constraint_values(track, z, rb, params,

@@ -110,3 +110,42 @@ def test_assembly_kernel_with_obstacle_and_scheduling():
     ee = np.asarray(kin.ee_position_host(X0_P[:7]))
     _compare(PANDA, [0.02, 0.1, 0.2],
              obs=[ee[0] + 0.18, ee[1], ee[2]], obs_r=5.0)
+
+
+@pytest.mark.parametrize("system", [PANDA, HUSKY_PANDA],
+                         ids=["panda", "husky_panda"])
+def test_eval_kernel_matches_xla(system):
+    """Values-only eval kernel (objective + l1 violation) vs
+    total_objective + constraint_values + constraint_norm."""
+    from mpcc_manipulator_tpu.ocp import qp_data
+    from mpcc_manipulator_tpu.solver.sqp import constraint_norm
+
+    params, sel_nn, env_nn, track, x0 = _problem(system)
+    rng = np.random.default_rng(11)
+    B = 4
+    z0 = np.concatenate([np.tile(x0, 11), np.zeros(system.nu * 10)])
+    # larger perturbation: make bound/rate/defect violations actually fire
+    zs = jnp.asarray(np.tile(z0, (B, 1))
+                     + 0.02 * rng.standard_normal((B, system.n_var)),
+                     dtype=DT)
+    cu = jnp.asarray(0.02 * rng.standard_normal((B, system.nu)), dtype=DT)
+    obs = jnp.asarray([3.0, 3.0, 3.0], dtype=DT)
+
+    def ref_eval(z, c):
+        xs = z[:system.nx * 11].reshape(11, system.nx)
+        rb = compute_robot_data(xs[:, :system.dof], obs, 0.0, sel_nn,
+                                env_nn, mani_grad="ad", system=system)
+        obj = qp_data.total_objective(track, z, rb, params, False,
+                                      system=system)
+        cv, l, u = qp_data.constraint_values(track, z, rb, params, c, TS,
+                                             system=system)
+        return obj, constraint_norm(cv, l, u), rb
+
+    objs, vios, rbs = jax.vmap(ref_eval)(zs, cu)
+    got_o, got_v = pasm._eval_batched(track, zs, rbs, params, cu, TS,
+                                      system=system, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(objs),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(vios),
+                               rtol=5e-4, atol=5e-4)
+    assert float(jnp.max(vios)) > 0.1  # the perturbation really violates

@@ -106,7 +106,8 @@ def test_sharded_step_riccati_pallas_interpret(problem):
     real solve budgets, asserting the fleet actually *solves* (VERDICT r2:
     the bench configuration must be the one the multichip evidence runs)."""
     params, _, sel_nn, env_nn, track, x0 = problem
-    cfg = SQPConfig(max_iter=5, qp_solver="riccati_pallas", ipm_max_iter=15)
+    cfg = SQPConfig(max_iter=5, qp_solver="riccati_pallas", ipm_max_iter=15,
+                    qp_assembly="pallas")
     f32 = jnp.float32
     batch = 8
     x0_b, u0_b, obs_b, rad_b = jax.tree.map(
