@@ -231,6 +231,7 @@ def main():
     ap.add_argument("--sqp-iters", type=int, default=4)
     ap.add_argument("--ipm-iters", type=int, default=12)
     ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--passes", type=int, default=3)
     args = ap.parse_args()
 
     if args.worker is not None:
@@ -240,28 +241,32 @@ def main():
     # Interleave the configurations and take the min-of-medians per config:
     # round-3 measured efficiency 1.39 (>1), i.e. the two phases saw
     # asymmetric machine noise (background compile threads, cache state).
-    # The second pass of each config reuses the persistent compilation
-    # cache, so it is cheap and measures steady-state execution; min() is
-    # the standard noise-robust estimator for a fixed workload.
-    r1 = spawn_config(1, args.port, args)
-    r2 = spawn_config(args.procs, args.port + 1, args)
-    r1b = spawn_config(1, args.port + 2, args)
-    r2b = spawn_config(args.procs, args.port + 3, args)
-    t1 = min(r1["step_ms_median"], r1b["step_ms_median"])
-    t2 = min(r2["step_ms_median"], r2b["step_ms_median"])
+    # Repeat passes reuse the persistent compilation cache, so they are
+    # cheap and measure steady-state execution; min() is the standard
+    # noise-robust estimator for a fixed workload (this box has 2 cores
+    # and an interactive session — any single pass can be corrupted).
+    n_pass = args.passes
+    r1s, r2s = [], []
+    port = args.port
+    for _ in range(n_pass):
+        r1s.append(spawn_config(1, port, args))
+        r2s.append(spawn_config(args.procs, port + 1, args))
+        port += 2
+    t1 = min(r["step_ms_median"] for r in r1s)
+    t2 = min(r["step_ms_median"] for r in r2s)
     eff = t1 / t2
     print(json.dumps({
         "metric": "multiprocess_weak_scaling",
-        "one_proc": r1,
-        "multi_proc": r2,
+        "one_proc": r1s[0],
+        "multi_proc": r2s[0],
         "one_proc_ms": t1,
         "multi_proc_ms": t2,
-        "one_proc_ms_passes": [r1["step_ms_median"], r1b["step_ms_median"]],
-        "multi_proc_ms_passes": [r2["step_ms_median"], r2b["step_ms_median"]],
+        "one_proc_ms_passes": [r["step_ms_median"] for r in r1s],
+        "multi_proc_ms_passes": [r["step_ms_median"] for r in r2s],
         "efficiency": round(eff, 4),
         "note": ("per-process batch fixed; jax.distributed CPU cluster on "
                  "one machine, 1 device + 1 compute thread per process; "
-                 "min-of-medians over two interleaved passes per config"),
+                 f"min-of-medians over {n_pass} interleaved passes/config"),
     }))
 
 

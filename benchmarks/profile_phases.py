@@ -169,6 +169,34 @@ def main():
         out = chain_asmk(z_b, jnp.asarray(k))
         return float(jnp.sum(out))
 
+    # ---- phase: fused Pallas assembly kernel (the production path)
+    from mpcc_manipulator_tpu.ops import pallas_assembly as pasm
+
+    @jax.jit
+    def chain_asmp(zs, k):
+        def body(i, zcur):
+            st = pasm._build_batched(track, zcur, rb_b, params,
+                                     jnp.zeros((batch, 8), dtype=dtype), ts)
+            return zcur + 1e-20 * st.gx[:, 0, 0][:, None]
+        return jax.lax.fori_loop(0, k, body, zs)
+
+    def run_asmp(k):
+        out = chain_asmp(z_b, jnp.asarray(k))
+        return float(jnp.sum(out))
+
+    # ---- phase: fused Pallas eval kernel (objective + violation)
+    @jax.jit
+    def chain_evalp(zs, k):
+        def body(i, zcur):
+            o, v = pasm._eval_batched(track, zcur, rb_b, params,
+                                      jnp.zeros((batch, 8), dtype=dtype), ts)
+            return zcur + 1e-20 * (o + v)[:, None]
+        return jax.lax.fori_loop(0, k, body, zs)
+
+    def run_evalp(k):
+        out = chain_evalp(z_b, jnp.asarray(k))
+        return float(jnp.sum(out))
+
     # ---- phase: eval (objective + constraints; one line-search trial)
     @jax.jit
     def chain_eval(zs, k):
@@ -219,9 +247,11 @@ def main():
                              ("assemble", run_asm, 5, 45),
                              ("assemble_s", run_asms, 5, 45),
                              ("assemble_k", run_asmk, 5, 45),
+                             ("assemble_P", run_asmp, 5, 45),
                              ("ipm_solve", run_ipm, 3, 13),
                              ("ipm_pallas", run_pipm, 5, 45),
                              ("eval_point", run_eval, 5, 45),
+                             ("eval_P", run_evalp, 5, 45),
                              ("full_tick", run_tick, 3, 13)]:
         t = _slope_time(fn, k1, k2)
         results[name] = t * 1e3
@@ -232,8 +262,8 @@ def main():
           f"qp_iters(total newton): max={qp_iters.max()} mean={qp_iters.mean():.1f}")
     tick = results["full_tick"]
     model = (results["robot_data"]
-             + sqp_iters.max() * (results["assemble_k"] + results["ipm_pallas"]
-                                  + results["eval_point"]))
+             + sqp_iters.max() * (results["assemble_P"] + results["ipm_pallas"]
+                                  + results["eval_P"]))
     print(f"tick={tick:.1f} ms; production phase model at max sqp iters = "
           f"{model:.1f} ms")
 

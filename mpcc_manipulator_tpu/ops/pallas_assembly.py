@@ -302,7 +302,7 @@ def _assembly_kernel(xs_ref, us_ref, cu_ref,
     f32 = jnp.float32
     s_idx, vs_idx, dvs_idx = dof, dof + 1, dof
     sc = lambda k: sc_ref[_SC[k], 0]           # packed scalar
-    delta, length = sc("delta"), sc("length")
+    length = sc("length")
     eye_nx = jnp.eye(nx, dtype=f32)[:, :, None]
 
     tx = tx_ref[:]            # (nx, 1)
@@ -312,9 +312,8 @@ def _assembly_kernel(xs_ref, us_ref, cu_ref,
     # shared per-lane math (module level; also used by the eval kernel)
     rbf, drbf = _rbf, _drbf
     mat33_mul, mat33_T, matvec33 = _mat33_mul, _mat33_T, _matvec33
-
+    log_rot_vec = _log_rot_vec
     jr_inv = functools.partial(_jr_inv_k, jr_sign=jr_sign)
-    exp_rot, log_rot_vec = _exp_rot, _log_rot_vec  # noqa: F841 (aliases)
 
     # ---- per-knot sweep (static unroll; knot N is the terminal knot)
     for k in range(N + 1):

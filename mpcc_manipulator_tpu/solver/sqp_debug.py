@@ -142,9 +142,16 @@ def solve_ocp_timed(track: TrackSpline, rb: RobotData, params: MPCCParams,
 # ------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("ts", "exact_heading_jac", "solver"))
+@partial(jax.jit, static_argnames=("ts", "exact_heading_jac", "solver",
+                                   "assembly"))
 def _build_stages_jit(track, z, rb, params, current_u, ts, exact_heading_jac,
-                      solver):
+                      solver, assembly="xla"):
+    if solver == "riccati_pallas" and assembly == "pallas":
+        # production assembly kernel (profiled set_qp phase matches the
+        # shipped configuration)
+        from ..ops import pallas_assembly as pasm
+        return pasm.build_qp_stages_k_pallas(track, z, rb, params, current_u,
+                                             ts, exact_heading_jac)
     if solver == "riccati_pallas":
         return qps.build_qp_stages_k(track, z, rb, params, current_u, ts,
                                      exact_heading_jac)
@@ -207,7 +214,7 @@ def solve_ocp_timed_riccati(track: TrackSpline, rb: RobotData,
     for it in range(cfg.max_iter):
         t0 = time.perf_counter()
         rep = _build_stages_jit(track, z, rb, params, current_u, ts,
-                                exact_heading_jac, solver)
+                                exact_heading_jac, solver, cfg.qp_assembly)
         jax.block_until_ready(rep)
         times.set_qp += time.perf_counter() - t0
 
