@@ -14,11 +14,14 @@ This is diagnostic tooling, not part of the library API.
 Run: python benchmarks/profile_phases.py [batch]
 """
 
+import os
 import sys
 import time
 from functools import partial
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _slope_time(call, k1: int, k2: int, reps: int = 3):

@@ -88,13 +88,15 @@ def _compare(system, s_values, obs, obs_r, atol=5e-4):
         assert err <= atol * scale, (f, err, scale)
 
 
-@pytest.mark.parametrize("system", [PANDA, HUSKY_PANDA],
-                         ids=["panda", "husky_panda"])
+@pytest.mark.parametrize(
+    "system", [PANDA, pytest.param(HUSKY_PANDA, marks=pytest.mark.slow)],
+    ids=["panda", "husky_panda"])
 def test_assembly_kernel_matches_xla(system):
     """Interior-of-track knots, obstacle far away."""
     _compare(system, [0.05, 0.3, 0.6], obs=[3.0, 3.0, 3.0], obs_r=0.0)
 
 
+@pytest.mark.slow
 def test_assembly_kernel_endpoint_and_taper():
     """Knots at/past the track end: spline + rotation endpoint branches,
     desired-velocity taper, s trust-region clamp at L."""
@@ -104,6 +106,7 @@ def test_assembly_kernel_endpoint_and_taper():
              obs=[3.0, 3.0, 3.0], obs_r=0.0)
 
 
+@pytest.mark.slow
 def test_assembly_kernel_with_obstacle_and_scheduling():
     """Near obstacle: active RBF env rows + proximity weight scheduling."""
     params, sel_nn, env_nn, track, x0 = _problem(PANDA)
@@ -112,8 +115,9 @@ def test_assembly_kernel_with_obstacle_and_scheduling():
              obs=[ee[0] + 0.18, ee[1], ee[2]], obs_r=5.0)
 
 
-@pytest.mark.parametrize("system", [PANDA, HUSKY_PANDA],
-                         ids=["panda", "husky_panda"])
+@pytest.mark.parametrize(
+    "system", [PANDA, pytest.param(HUSKY_PANDA, marks=pytest.mark.slow)],
+    ids=["panda", "husky_panda"])
 def test_eval_kernel_matches_xla(system):
     """Values-only eval kernel (objective + l1 violation) vs
     total_objective + constraint_values + constraint_norm."""

@@ -13,6 +13,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# slow tier: mobile-dims interpret runs are the widest kernel programs in
+# the suite (~3 min); the fast tier keeps the Panda kernel equivalence
+# (tests/test_qp_ipm_pallas.py) and the dryrun certifies the mobile config
+pytestmark = pytest.mark.slow
+
 from mpcc_manipulator_tpu.models import collision_nn as cnn
 from mpcc_manipulator_tpu.models import kinematics_mobile as kinm
 from mpcc_manipulator_tpu.ocp import qp_stages as qps
