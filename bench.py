@@ -304,6 +304,10 @@ def main():
         # r4 at batch 1024 Panda, 31.1k -> 100.3k solves/s/chip
         # (batched step 32.9 -> 10.2 ms); MPCC_QP_ASSEMBLY=xla to ablate
         qp_assembly=os.environ.get("MPCC_QP_ASSEMBLY", "pallas"),
+        # fused Pallas kinematics (ops/pallas_kinematics.py): FK + point
+        # Jacobian + analytic manipulability gradient in lanes; the
+        # collision-NN matmuls stay XLA/MXU.  MPCC_KIN_BACKEND=xla ablates.
+        kin_backend=os.environ.get("MPCC_KIN_BACKEND", "pallas"),
     )
 
     primary_name = os.environ.get("MPCC_SYSTEM", "panda")

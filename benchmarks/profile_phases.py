@@ -59,7 +59,9 @@ def main():
                     qp_solver=os.environ.get("MPCC_QP_SOLVER", "riccati_pallas"),
                     ipm_max_iter=25,
                     qp_max_iter=200, qp_check_every=25, mani_grad="analytic",
-                    ipm_scheme=os.environ.get("MPCC_IPM_SCHEME", "mehrotra"))
+                    ipm_scheme=os.environ.get("MPCC_IPM_SCHEME", "mehrotra"),
+                    ipm_warm_start=os.environ.get("MPCC_IPM_WARM", "1") == "1",
+                    qp_assembly=os.environ.get("MPCC_QP_ASSEMBLY", "pallas"))
     ts = 0.01
 
     rng = np.random.default_rng(0)
@@ -81,9 +83,20 @@ def main():
         def body(i, qcur):
             rb = jax.vmap(lambda q, oo, rr: compute_robot_data(
                 jnp.tile(q[None], (11, 1)), oo, rr, sel_nn, env_nn,
-                mani_grad="ad"))(qcur, o, r)
-            return qcur + 1e-20 * rb.sel_dist[:, :1][:, 0:7:7] \
-                if False else qcur + 1e-20 * rb.sel_dist[:, 0][:, None]
+                mani_grad="analytic"))(qcur, o, r)
+            # consume EVERY field: reducing only sel_dist lets XLA
+            # dead-code-eliminate the env-NN Jacobian (the dominant cost) —
+            # r4 measured a bogus 0.18 us/scenario that way
+            used = (rb.sel_dist[:, 0] + rb.manipul[:, 0]
+                    + jnp.sum(rb.d_manipul, axis=(1, 2))
+                    + jnp.sum(rb.d_sel_dist, axis=(1, 2))
+                    + jnp.sum(rb.env_dist, axis=(1, 2))
+                    + jnp.sum(rb.d_env_dist, axis=(1, 2, 3))
+                    + jnp.sum(rb.jv, axis=(1, 2, 3))
+                    + jnp.sum(rb.jw, axis=(1, 2, 3))
+                    + jnp.sum(rb.ee_pos, axis=(1, 2))
+                    + jnp.sum(rb.ee_rot, axis=(1, 2, 3)))
+            return qcur + 1e-20 * used[:, None]
         return jax.lax.fori_loop(0, k, body, qs)
 
     def run_rb(k):
@@ -250,11 +263,11 @@ def main():
                              ("assemble", run_asm, 5, 45),
                              ("assemble_s", run_asms, 5, 45),
                              ("assemble_k", run_asmk, 5, 45),
-                             ("assemble_P", run_asmp, 5, 45),
+                             ("assemble_P", run_asmp, 10, 210),
                              ("ipm_solve", run_ipm, 3, 13),
                              ("ipm_pallas", run_pipm, 5, 45),
                              ("eval_point", run_eval, 5, 45),
-                             ("eval_P", run_evalp, 5, 45),
+                             ("eval_P", run_evalp, 10, 210),
                              ("full_tick", run_tick, 3, 13)]:
         t = _slope_time(fn, k1, k2)
         results[name] = t * 1e3

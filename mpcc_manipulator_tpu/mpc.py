@@ -148,7 +148,9 @@ def mpc_step(track: TrackSpline, params: MPCCParams, sel_nn: cnn.MLPParams,
     # --- 4. per-tick RobotData sweep (frozen linearization cache)
     xs0, _ = qp_data.split_z(z0, system)
     rb = compute_robot_data(xs0[:, :system.dof], obs_pos, obs_radius, sel_nn,
-                            env_nn, mani_grad=cfg.mani_grad, system=system)
+                            env_nn, mani_grad=cfg.mani_grad, system=system,
+                            kin_backend=cfg.kin_backend,
+                            kin_interpret=cfg.ipm_interpret)
 
     # --- 5. SQP (QP warm start carried across ticks; zeroed on cold start)
     qp_x0 = jnp.where(valid, carry.qp_x, 0.0)

@@ -127,16 +127,69 @@ def _single_knot_mobile(q_m, obs_pos, sel_nn: cnn.MLPParams,
     return p_ee, r_ee, jv, jw, manipul, d_manipul, sel[0], d_sel, env, d_env
 
 
+def _nn_knot(q, obs_pos, sel_nn, env_nn, system: System):
+    """The NN half of one knot (self/env distances + Jacobians) — real
+    matmuls; stays XLA regardless of the kinematics backend."""
+    dtype = q.dtype
+    if system.base_dof == 0:
+        sel, d_sel = cnn.mlp_forward_jacobian(sel_nn, q)
+        env, d_env_full = cnn.mlp_forward_jacobian(
+            env_nn, jnp.concatenate([q, obs_pos]))
+        return sel[0], d_sel[0], env, d_env_full[:, :q.shape[0]]
+    base, q_arm = kinm.split_q(q)
+    rb, pb = kinm._base_transform(base)
+    sel, d_sel_arm = cnn.mlp_forward_jacobian(sel_nn, q_arm)
+    d_sel = jnp.concatenate([jnp.zeros(3, dtype=dtype), d_sel_arm[0]])
+    rel = obs_pos - pb
+    obs_local = rb.T @ rel
+    env, d_env_full = cnn.mlp_forward_jacobian(
+        env_nn, jnp.concatenate([q_arm, obs_local]))
+    d_env_q = d_env_full[:, :q_arm.shape[0]]
+    d_env_o = d_env_full[:, q_arm.shape[0]:]
+    th = base[2]
+    c, s = jnp.cos(th), jnp.sin(th)
+    drt_dth = jnp.array([[-s, c, 0.0], [-c, -s, 0.0], [0.0, 0.0, 0.0]],
+                        dtype=dtype)
+    d_obs_local = jnp.concatenate(
+        [-rb.T[:, :2], (drt_dth @ rel)[:, None]], axis=1)
+    d_env = jnp.concatenate([d_env_o @ d_obs_local, d_env_q], axis=1)
+    return sel[0], d_sel, env, d_env
+
+
 def compute_robot_data(qs: jnp.ndarray, obs_pos: jnp.ndarray, obs_radius,
                        sel_nn: cnn.MLPParams, env_nn: cnn.MLPParams,
                        mani_grad: str = "fd",
-                       system: System = PANDA) -> RobotData:
+                       system: System = PANDA,
+                       kin_backend: str = "xla",
+                       kin_interpret: bool | None = None) -> RobotData:
     """Evaluate the full cache for a batch of joint configurations.
 
     ``qs``: (K, dof) — typically K = N+1 horizon knots.  The obstacle is
     shared across knots (the reference passes one obstacle per tick,
     `osqp_interface.cpp:102-108`).
+
+    ``kin_backend="pallas"`` computes the kinematic half (FK, point
+    Jacobian, manipulability + analytic gradient) in the fused lane-batch
+    kernel (`ops/pallas_kinematics.py`) and only the NN half in XLA.
     """
+    if kin_backend == "pallas":
+        if system.base_dof == 0 and mani_grad != "analytic":
+            raise ValueError(
+                "kin_backend='pallas' implements the analytic manipulability"
+                " gradient only; set mani_grad='analytic' (or kin_backend="
+                "'xla' for the fd/ad variants)")
+        from ..ops.pallas_kinematics import kin_sweep
+        p_ee, r_ee, jv, jw, mani, d_mani = kin_sweep(
+            qs, system=system, interpret=kin_interpret)
+        sel, d_sel, env, d_env = jax.vmap(
+            lambda q: _nn_knot(q, obs_pos, sel_nn, env_nn, system))(qs)
+        return RobotData(
+            q=qs, ee_pos=p_ee, ee_rot=r_ee, jv=jv, jw=jw,
+            manipul=mani, d_manipul=d_mani,
+            sel_dist=sel, d_sel_dist=d_sel,
+            env_dist=env, d_env_dist=d_env,
+            obs_radius=jnp.asarray(obs_radius, dtype=qs.dtype),
+        )
     if system.base_dof == 0:
         f = jax.vmap(lambda q: _single_knot(q, obs_pos, sel_nn, env_nn, mani_grad))
     else:

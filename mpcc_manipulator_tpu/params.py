@@ -328,6 +328,12 @@ class SQPConfig:
     # spline gathers become MXU contractions, everything else stays in
     # VMEM.  Step-exact to f32 vs the XLA path, tested both systems).
     qp_assembly: str = "xla"
+    # RobotData kinematics backend: "xla" or "pallas"
+    # (ops/pallas_kinematics.py — FK + point Jacobian + analytic
+    # manipulability gradient as one lane-batch kernel; the collision-NN
+    # matmuls stay XLA/MXU either way).  The pallas backend requires
+    # mani_grad="analytic" on the fixed-base system.
+    kin_backend: str = "xla"
 
 
 def load_sqp_params(file: str, overrides: Mapping[str, float] | None = None,

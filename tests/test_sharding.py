@@ -116,7 +116,8 @@ def test_sharded_step_riccati_pallas_interpret(problem):
     configuration is certified each round by `dryrun_multichip`."""
     params, _, sel_nn, env_nn, track, x0 = problem
     cfg = SQPConfig(max_iter=5, qp_solver="riccati_pallas", ipm_max_iter=15,
-                    qp_assembly="pallas")
+                    qp_assembly="pallas", kin_backend="pallas",
+                    mani_grad="analytic")
     f32 = jnp.float32
     batch = 8
     x0_b, u0_b, obs_b, rad_b = jax.tree.map(
