@@ -281,7 +281,13 @@ def _measure_system(system, batch: int, cfg, reps_single: int,
 
 
 def main():
-    import jax  # noqa: F401  (backend init before building problems)
+    import jax
+
+    # persistent compilation cache: the full two-system bench compiles ~8
+    # large programs (~25+ min cold over the remote-compile tunnel); repeat
+    # runs (driver invocations after a warm-up) load the executables
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mpcc_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from mpcc_manipulator_tpu.params import SQPConfig
     from mpcc_manipulator_tpu.system import SYSTEMS
@@ -331,10 +337,21 @@ def main():
     # ---------------- BASELINE config 5: Husky+Panda at batch 4096 ----------
     if (primary_name == "panda"
             and os.environ.get("MPCC_BENCH_MOBILE", "1") == "1"):
+        # release the Panda executables/buffers first: leftover HBM state
+        # from the primary measurement slows the 4096-scenario mobile run
+        # ~2x (r4 measured 26k vs 49k solves/s standalone)
+        import gc
+        del res, flops
+        gc.collect()
+        jax.clear_caches()
         mobile_batch = int(os.environ.get("MPCC_BENCH_BATCH_MOBILE", "4096"))
+        # k_batched must reach steady state: the first ~8 ticks pay cold
+        # IPM warm-start transients (the batched while-loop runs to the
+        # slowest of 4096 lanes), and a (2, 10) window measured ~2x the
+        # steady-state step time (r4: 26k vs 49k solves/s)
         m_res, m_flops = _measure_system(
             SYSTEMS["husky_panda"], mobile_batch, cfg,
-            reps_single=10, reps_batched=6, k_batched=(2, 10),
+            reps_single=10, reps_batched=6, k_batched=(3, 23),
             with_flops=False)
         m_res["vs_baseline"] = round(
             m_res["solves_per_sec_per_chip"] / 100.0, 3)
