@@ -120,16 +120,22 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
     iters_out[:] = jnp.zeros((1, BT), dtype=f32)
 
     def row_products():
-        """C z for the current iterate -> (n_st, nc, B)."""
+        """C z for the current iterate -> (n_st, nc, B).
+
+        Polytopic-row structure: cpx columns s/vs and the cpu dVs column
+        are STRUCTURAL zeros (the RBF rows involve only the joint block,
+        `constraints.py::stage_constraints`), so the contractions run over
+        the first ``dof`` columns only — bit-identical (skipped terms are
+        exact zeros), ~30% fewer row-sweep instructions."""
         dxv = dx_scr[:]
         duv = du_scr[:]
         cz_x = tx[None] * dxv[1:, :nx]
         cz_u = tu[None] * duv
         cz_r = tr[None] * (duv[:, :dof] - dxv[:n_st, nx:nx + dof])
-        cpxv = cpx_ref[:].reshape(n_st, npc, nx, BT)
-        cpuv = cpu_ref[:].reshape(n_st, npc, nu, BT)
-        cz_p = (jnp.sum(cpxv * dxv[:n_st, :nx][:, None], axis=2)
-                + jnp.sum(cpuv * duv[:, None], axis=2))
+        cpxv = cpx_ref[:].reshape(n_st, npc, nx, BT)[:, :, :dof]
+        cpuv = cpu_ref[:].reshape(n_st, npc, nu, BT)[:, :, :dof]
+        cz_p = (jnp.sum(cpxv * dxv[:n_st, :dof][:, None], axis=2)
+                + jnp.sum(cpuv * duv[:, :dof][:, None], axis=2))
         return jnp.concatenate([cz_x, -cz_x, cz_u, -cz_u, cz_r, -cz_r, cz_p],
                                axis=1)
 
@@ -170,25 +176,47 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
             1.0, FRAC_TO_BOUNDARY * jnp.min(ratio, axis=(0, 1)))[None]
 
     def stage_matrices(k):
-        """Stage-k Hbar blocks (H + C' diag(w) C contributions)."""
+        """Stage-k Hbar blocks (H + C' diag(w) C contributions).
+
+        The C' diag(w) C rank-1 sweep runs on the (dof, dof) joint block
+        only — the polytopic rows' s/vs/dVs columns are structural zeros
+        (see row_products), so the full-block updates they would produce
+        are exact zeros; the dof-block results are embedded back by
+        concatenation.  Bit-identical to the full-width sweep."""
         km1 = jnp.maximum(k - 1, 0)
         wk = w_scr[k]                                        # (nc, B)
         on_x = jnp.where(k >= 1, 1.0, 0.0)
         dxx = on_x * tx2 * (w_scr[km1, o_xu:o_xu + nx]
                             + w_scr[km1, o_xl:o_xl + nx])
-        q_xx = hxx_ref[k].reshape(nx, nx, BT) + eye_x * dxx[None]
-        su_x = hux_ref[k].reshape(nu, nx, BT)
+        q_m = hxx_ref[k].reshape(nx, nx, BT) + eye_x * dxx[None]
+        su_m = hux_ref[k].reshape(nu, nx, BT)
         duu = (tu2 * (wk[o_uu:o_uu + nu] + wk[o_ul:o_ul + nu])
                + pad_u(tr2 * (wk[o_ru:o_ru + dof] + wk[o_rl:o_rl + dof])))
-        r_uu = huu_ref[k].reshape(nu, nu, BT) + eye_u * duu[None]
+        r_m = huu_ref[k].reshape(nu, nu, BT) + eye_u * duu[None]
         cpxk = cpx_ref[k].reshape(npc, nx, BT)
         cpuk = cpu_ref[k].reshape(npc, nu, BT)
+        # accumulate INTO the dof blocks (same add association as the
+        # original full-width sweep, so the f32 results are unchanged)
+        q_dd = q_m[:dof, :dof]
+        s_dd = su_m[:dof, :dof]
+        r_dd = r_m[:dof, :dof]
         for r in range(npc):
-            cw = cpxk[r] * wk[o_p + r][None]                 # (nx, B)
-            cwu = cpuk[r] * wk[o_p + r][None]                # (nu, B)
-            q_xx = q_xx + cpxk[r][:, None] * cw[None]
-            su_x = su_x + cpuk[r][:, None] * cw[None]
-            r_uu = r_uu + cpuk[r][:, None] * cwu[None]
+            cx_d = cpxk[r][:dof]                             # (dof, B)
+            cu_d = cpuk[r][:dof]
+            cw = cx_d * wk[o_p + r][None]
+            cwu = cu_d * wk[o_p + r][None]
+            q_dd = q_dd + cx_d[:, None] * cw[None]
+            s_dd = s_dd + cu_d[:, None] * cw[None]
+            r_dd = r_dd + cu_d[:, None] * cwu[None]
+        q_xx = jnp.concatenate([
+            jnp.concatenate([q_dd, q_m[:dof, dof:]], axis=1),
+            q_m[dof:]], axis=0)
+        su_x = jnp.concatenate([
+            jnp.concatenate([s_dd, su_m[:dof, dof:]], axis=1),
+            su_m[dof:]], axis=0)
+        r_uu = jnp.concatenate([
+            jnp.concatenate([r_dd, r_m[:dof, dof:]], axis=1),
+            r_m[dof:]], axis=0)
         srr = tr2 * (wk[o_ru:o_ru + dof] + wk[o_rl:o_rl + dof])
         srr_u = pad_u(srr) + pad_u(r2_ref[k])                # (nu, B)
         # Q xu-xu diagonal and S u-xu diagonal
@@ -206,8 +234,13 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
         gu_k = (gu_ref[k] + tu * (rk[o_uu:o_uu + nu] - rk[o_ul:o_ul + nu])
                 + pad_u(g_rr))
         rk_p = rk[o_p:o_p + npc]                             # (npc, B)
-        gq_x = gq_x + jnp.sum(cpxk * rk_p[:, None], axis=0)
-        gu_k = gu_k + jnp.sum(cpuk * rk_p[:, None], axis=0)
+        # dof-block restriction (structural zeros; see stage_matrices)
+        gq_x = jnp.concatenate(
+            [gq_x[:dof] + jnp.sum(cpxk[:, :dof] * rk_p[:, None], axis=0),
+             gq_x[dof:]], axis=0)
+        gu_k = jnp.concatenate(
+            [gu_k[:dof] + jnp.sum(cpuk[:, :dof] * rk_p[:, None], axis=0),
+             gu_k[dof:]], axis=0)
         gq = jnp.concatenate([gq_x, pad_u(gq_v)], axis=0)    # (nxt, B)
         return gq, gu_k
 
@@ -274,10 +307,11 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
         cz_x = tx[None] * dx_t[1:, :nx]
         cz_u = tu[None] * du_t
         cz_r = tr[None] * (du_t[:, :dof] - dx_t[:n_st, nx:nx + dof])
-        cpxv = cpx_ref[:].reshape(n_st, npc, nx, BT)
-        cpuv = cpu_ref[:].reshape(n_st, npc, nu, BT)
-        cz_p = (jnp.sum(cpxv * dx_t[:n_st, :nx][:, None], axis=2)
-                + jnp.sum(cpuv * du_t[:, None], axis=2))
+        # dof-block restriction (structural zeros; see row_products)
+        cpxv = cpx_ref[:].reshape(n_st, npc, nx, BT)[:, :, :dof]
+        cpuv = cpu_ref[:].reshape(n_st, npc, nu, BT)[:, :, :dof]
+        cz_p = (jnp.sum(cpxv * dx_t[:n_st, :dof][:, None], axis=2)
+                + jnp.sum(cpuv * du_t[:, :dof][:, None], axis=2))
         cz_t = jnp.concatenate([cz_x, -cz_x, cz_u, -cz_u, cz_r, -cz_r, cz_p],
                                axis=1)
         return dx_t, du_t, cz_t
