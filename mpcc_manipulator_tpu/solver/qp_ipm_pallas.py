@@ -175,6 +175,37 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
         return jnp.minimum(
             1.0, FRAC_TO_BOUNDARY * jnp.min(ratio, axis=(0, 1)))[None]
 
+    # ---- structured bd contractions.  bd is the exact ZOH of the nilpotent
+    # A (models/dynamics.py): joint rows carry a single diagonal entry and
+    # the s/vs rows only the dVs column.  The values are traced, so the
+    # structural zeros cannot constant-fold — exploit them explicitly.  All
+    # variants reproduce the original dense loops' f32 add association
+    # bit-for-bit (skipped terms are exact zeros; the two dVs-column terms
+    # keep their ascending-row grouping).
+    bd_q = [bd[i, i] for i in range(dof)]            # (B,) each
+    bd_s = bd[s_idx, nu - 1]
+    bd_vs = bd[vs_idx, nu - 1]
+
+    def bt_t(x):
+        """bd' @ X for X (nx, m, B) -> (nu, m, B) (zero-based accumulate)."""
+        rows = [bd_q[i][None] * x[i] for i in range(dof)]
+        rows.append(bd_s[None] * x[s_idx] + bd_vs[None] * x[vs_idx])
+        return jnp.stack(rows, axis=0)
+
+    def bt_t_into(base, x):
+        """base + bd' @ X, association ((base + t_s) + t_vs)."""
+        rows = [base[i] + bd_q[i][None] * x[i] for i in range(dof)]
+        rows.append((base[nu - 1] + bd_s[None] * x[s_idx])
+                    + bd_vs[None] * x[vs_idx])
+        return jnp.stack(rows, axis=0)
+
+    def bd_mul(u_vec):
+        """bd @ u for u (nu, B) -> (nx, B)."""
+        rows = [bd_q[i] * u_vec[i] for i in range(dof)]
+        rows.append(bd_s * u_vec[nu - 1])
+        rows.append(bd_vs * u_vec[nu - 1])
+        return jnp.stack(rows, axis=0)
+
     def stage_matrices(k):
         """Stage-k Hbar blocks (H + C' diag(w) C contributions).
 
@@ -257,19 +288,18 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
                              jnp.zeros((nx, nu, BT), f32)], axis=1),
             jnp.concatenate([jnp.zeros((nu, nx, BT), f32), q_vv], axis=1),
         ], axis=0)
-        # s_bar = S + bt' P at
-        bt_pa = jnp.zeros((nu, nx, BT), dtype=f32)
-        for i2 in range(nx):
-            bt_pa = bt_pa + bd[i2][:, None] * pa_x[i2][None]
+        # s_bar = S + bt' P at  (structured bd; see bt_t)
+        bt_pa = bt_t(pa_x[:nx])
         s_bar_x = su_x + bt_pa + pa_x[nx:]
         s_bar = jnp.concatenate([s_bar_x, s_uv], axis=1)     # (nu, nxt, B)
-        # r_bar = R + bt' P bt
-        pb = p_mat[:, nx:]
-        for i2 in range(nx):
-            pb = pb + p_mat[:, i2][:, None] * bd[i2][None]
-        r_bar = r_uu + pb[nx:]
-        for i2 in range(nx):
-            r_bar = r_bar + bd[i2][:, None] * pb[i2][None]
+        # r_bar = R + bt' P bt:  pb = P @ bt columns, then bd' fold
+        pb_cols = [p_mat[:, nx + u] + p_mat[:, u] * bd_q[u][None]
+                   for u in range(dof)]
+        pb_cols.append((p_mat[:, nx + nu - 1]
+                        + p_mat[:, s_idx] * bd_s[None])
+                       + p_mat[:, vs_idx] * bd_vs[None])
+        pb = jnp.stack(pb_cols, axis=1)                      # (nxt, nu, B)
+        r_bar = bt_t_into(r_uu + pb[nx:], pb[:nx])
         return pa_x, q_bar, s_bar, r_bar
 
     def riccati_vector(p_mat_x, p_vec, gq, gu_k, k):
@@ -280,8 +310,7 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
                   + jnp.concatenate(
                       [m_vec[:nx], jnp.zeros((nu, BT), f32)], axis=0)
                   + oh_vs_xt * (a_sv[0] * m_vec[s_idx])[None])
-        ru_bar = (gu_k + m_vec[nx:]
-                  + jnp.sum(bd * m_vec[:nx][:, None], axis=0))
+        ru_bar = gu_k + m_vec[nx:] + bt_t(m_vec[:nx][:, None])[:, 0]
         return qx_bar, ru_bar
 
     def rollout_and_targets():
@@ -296,7 +325,7 @@ def _ipm_kernel(hxx_ref, hux_ref, huu_ref, r2_ref, gx_ref, gu_ref, gxu_ref,
             du_k = kff_scr[k] + jnp.sum(kg * dxk[None], axis=1)
             x_next = (dxk[:nx]
                       + oh_s_row * (a_sv[0] * dxk[vs_idx])[None]
-                      + jnp.sum(bd * du_k[None], axis=1)
+                      + bd_mul(du_k)
                       + e_ref[k])
             kff_scr[k] = du_k            # du target (reuses k_ff slot)
             dxk = jnp.concatenate([x_next, du_k], axis=0)
