@@ -335,7 +335,9 @@ def mpc_step_profiled(track, params, sel_nn, env_nn, carry, x0, u0, obs_pos,
     t0 = time.perf_counter()
     xs0, _ = qp_data.split_z(z0, system)
     rb = compute_robot_data(xs0[:, :system.dof], obs_pos, obs_radius, sel_nn,
-                            env_nn, mani_grad=cfg.mani_grad, system=system)
+                            env_nn, mani_grad=cfg.mani_grad, system=system,
+                            kin_backend=cfg.kin_backend,
+                            kin_interpret=cfg.ipm_interpret)
     jax.block_until_ready(rb)
     set_env = time.perf_counter() - t0
 
