@@ -178,6 +178,13 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         raise ValueError(
             "the dense ADMM backend is Panda-only (OSQP-conformance path); "
             "use qp_solver='riccati' for other systems")
+    if cfg.qp_assembly == "pallas" and cfg.qp_solver != "riccati_pallas":
+        # the kernel assembly produces StageQPK, which only the fused
+        # kernel solver consumes; silently ignoring the toggle would make
+        # an ablation lie (same loud-failure policy as use_BFGS below)
+        raise ValueError(
+            "qp_assembly='pallas' requires qp_solver='riccati_pallas' "
+            "(the kernel assembly emits the kernel-direct StageQPK blocks)")
     if cfg.use_BFGS and cfg.qp_solver.startswith("riccati"):
         # BFGS maintains one dense (n_var, n_var) Lagrangian Hessian; the
         # Riccati path eliminates stages against exact GN stage Hessians and

@@ -77,6 +77,19 @@ def test_bfgs_on_riccati_raises(problem):
                  ts=TS, cfg=cfg)
 
 
+def test_pallas_assembly_off_kernel_solver_raises(problem):
+    """qp_assembly='pallas' only exists for the kernel solver; silently
+    ignoring the toggle would make ablations lie (same loud-failure
+    policy as use_BFGS)."""
+    params, sel_nn, env_nn, track, x0 = problem
+    cfg = SQPConfig(max_iter=3, qp_solver="riccati", qp_assembly="pallas")
+    with pytest.raises(ValueError, match="riccati_pallas"):
+        mpc_step(track, params, sel_nn, env_nn, init_carry(x0.dtype), x0,
+                 jnp.zeros(NU, dtype=x0.dtype),
+                 jnp.asarray([3., 3., 3.], dtype=x0.dtype), 0.0,
+                 ts=TS, cfg=cfg)
+
+
 @pytest.mark.parametrize("solver", ["riccati", "riccati_struct"])
 def test_soc_consulted_and_solves(problem, solver):
     base = dict(max_iter=10, qp_solver=solver, ipm_max_iter=25)
