@@ -304,7 +304,11 @@ def main():
         qp_max_iter=200, qp_check_every=25,
         qp_backend=os.environ.get("MPCC_QP_BACKEND", "xla"),
         mani_grad=os.environ.get("MPCC_MANI_GRAD", "analytic"),
-        ipm_scheme=os.environ.get("MPCC_IPM_SCHEME", "mehrotra"),
+        # "adaptive" overtook mehrotra once the kernel's dof-block + bd
+        # structure exploits cheapened the matrix sweep (r4 ablation:
+        # Panda 227.6k vs 218.6k, Husky 104.7k vs 82.0k solves/s) —
+        # more Newton iterations, each much cheaper
+        ipm_scheme=os.environ.get("MPCC_IPM_SCHEME", "adaptive"),
         ipm_warm_start=os.environ.get("MPCC_IPM_WARM", "1") == "1",
         # fused Pallas stage-QP assembly (ops/pallas_assembly.py): measured
         # r4 at batch 1024 Panda, 31.1k -> 100.3k solves/s/chip

@@ -18,8 +18,11 @@ against the saved factorization), same tolerances, the same per-lane freeze
 semantics that `vmap(while_loop)` gives the XLA path.  Equivalence is
 tested per scheme in interpret mode on CPU (tests/test_qp_ipm_pallas.py).
 Measured on v5e at batch 1024: mehrotra cuts mean Newton iterations ~25%
-(22.3 -> 16.6 per tick) for ~1.3x per-iteration cost — net +4% tick
-throughput; it is the bench default (MPCC_IPM_SCHEME to override).
+for ~1.3x per-iteration cost and was the r3 bench default; after the r4
+dof-block and structured-bd exploits cheapened the MATRIX sweep, the
+balance flipped — "adaptive" (one fused sweep per iteration) now wins
+(Panda 227.6k vs 218.6k, Husky@4096 104.7k vs 82.0k solves/s/chip) and
+is the production default (MPCC_IPM_SCHEME to override).
 
 Layout notes:
   * all refs are (stage, flat, B) or (flat, B) with B = 128 in lanes —
