@@ -103,6 +103,7 @@ def _slope_time(call, k1: int, k2: int, reps: int = 10):
         valid = np.asarray([max(per)])
     return {
         "p50": float(np.percentile(valid, 50)),
+        "p95": float(np.percentile(valid, 95)),
         "p99": float(np.percentile(valid, 99)),
         "mean": float(np.mean(valid)),
         "stderr": float(np.std(valid) / np.sqrt(valid.size)),
@@ -193,11 +194,13 @@ def _measure_system(system, batch: int, cfg, reps_single: int,
         "batch": batch,
         "n_chips": n_chips,
         "lat_p50_ms": round(lat["p50"] * 1e3, 4),
+        "lat_p95_ms": round(lat["p95"] * 1e3, 4),
         "lat_p99_ms": round(lat["p99"] * 1e3, 4),
         "lat_stderr_ms": round(lat["stderr"] * 1e3, 4),
         "lat_samples": lat["n_samples"],
         "lat_dropped": lat["n_dropped"],
         "batched_step_p50_ms": round(step_t["p50"] * 1e3, 4),
+        "batched_step_p95_ms": round(step_t["p95"] * 1e3, 4),
         "batched_step_p99_ms": round(step_t["p99"] * 1e3, 4),
         "batched_step_stderr_ms": round(step_t["stderr"] * 1e3, 4),
     }
@@ -323,8 +326,12 @@ def main():
     primary_name = os.environ.get("MPCC_SYSTEM", "panda")
     primary = SYSTEMS[primary_name]
     batch = int(os.environ.get("MPCC_BENCH_BATCH", "1024"))
+    # >=50 single-solve slope samples so p95/p99 are sample-supported
+    # percentiles, not the max of a dozen draws (round-4 verdict).  Each
+    # rep is ~0.1 s of device time; the executables come from the
+    # persistent compile cache, so total bench wall stays bounded.
     res, flops = _measure_system(primary, batch, cfg,
-                                 reps_single=12, reps_batched=10)
+                                 reps_single=50, reps_batched=20)
 
     result = {
         "metric": "mpcc_solves_per_sec_per_chip",
@@ -355,7 +362,7 @@ def main():
         # steady-state step time (r4: 26k vs 49k solves/s)
         m_res, m_flops = _measure_system(
             SYSTEMS["husky_panda"], mobile_batch, cfg,
-            reps_single=10, reps_batched=6, k_batched=(3, 23),
+            reps_single=50, reps_batched=20, k_batched=(3, 23),
             with_flops=False)
         m_res["vs_baseline"] = round(
             m_res["solves_per_sec_per_chip"] / 100.0, 3)
