@@ -60,7 +60,7 @@ def kernel_flops_per_iter(system) -> float:
     nx, nu, npc = system.nx, system.nu, system.npc
     nxt = nx + nu
     nc = system.nc_stage
-    n_st = 10
+    n_st = system.horizon
     per_stage = (npc * (nx * nx + nu * nx + nu * nu)   # C' diag(w) C
                  + nxt ** 3                            # P @ at (+ Q-bar)
                  + 2 * nu * nxt * nxt                  # bt'Pa, P-update
@@ -148,7 +148,10 @@ def _measure_system(system, batch: int, cfg, reps_single: int,
         c, x, u = chain_single(carry, x0, u0, obs, rad, jnp.asarray(k))
         return float(u[0])  # sync readback
 
-    lat = _slope_time(run_single, *k_single, reps=reps_single)
+    # reps_single=0 skips the (batch-independent) single-solve latency —
+    # used by the batch-scaling sweep, where only throughput varies
+    lat = (_slope_time(run_single, *k_single, reps=reps_single)
+           if reps_single > 0 else None)
 
     # ---------------- batched throughput ----------------
     mesh = shd.make_mesh()
@@ -193,12 +196,12 @@ def _measure_system(system, batch: int, cfg, reps_single: int,
         "solves_per_sec_per_chip": round(solves_per_sec_per_chip, 2),
         "batch": batch,
         "n_chips": n_chips,
-        "lat_p50_ms": round(lat["p50"] * 1e3, 4),
-        "lat_p95_ms": round(lat["p95"] * 1e3, 4),
-        "lat_p99_ms": round(lat["p99"] * 1e3, 4),
-        "lat_stderr_ms": round(lat["stderr"] * 1e3, 4),
-        "lat_samples": lat["n_samples"],
-        "lat_dropped": lat["n_dropped"],
+        **({"lat_p50_ms": round(lat["p50"] * 1e3, 4),
+            "lat_p95_ms": round(lat["p95"] * 1e3, 4),
+            "lat_p99_ms": round(lat["p99"] * 1e3, 4),
+            "lat_stderr_ms": round(lat["stderr"] * 1e3, 4),
+            "lat_samples": lat["n_samples"],
+            "lat_dropped": lat["n_dropped"]} if lat is not None else {}),
         "batched_step_p50_ms": round(step_t["p50"] * 1e3, 4),
         "batched_step_p95_ms": round(step_t["p95"] * 1e3, 4),
         "batched_step_p99_ms": round(step_t["p99"] * 1e3, 4),
@@ -218,7 +221,7 @@ def _measure_system(system, batch: int, cfg, reps_single: int,
     ipm_mean = float(jnp.mean(out_d.qp_iters.astype(jnp.float32)))
 
     # per-executable XLA flops at the batched shapes (per scenario)
-    from mpcc_manipulator_tpu.config import N
+    N = system.horizon
     z_b = jnp.tile(
         jnp.concatenate([jnp.tile(x0, N + 1), jnp.zeros(N * system.nu,
                                                         dtype=dtype)])[None],
@@ -325,6 +328,12 @@ def main():
 
     primary_name = os.environ.get("MPCC_SYSTEM", "panda")
     primary = SYSTEMS[primary_name]
+    # horizon is a System field since r5 (SURVEY §5 long-context axis);
+    # MPCC_HORIZON=20 benches the same stack at a doubled lookahead
+    n_h = int(os.environ.get("MPCC_HORIZON", "10"))
+    if n_h != primary.horizon:
+        import dataclasses
+        primary = dataclasses.replace(primary, horizon=n_h)
     batch = int(os.environ.get("MPCC_BENCH_BATCH", "1024"))
     # >=50 single-solve slope samples so p95/p99 are sample-supported
     # percentiles, not the max of a dozen draws (round-4 verdict).  Each

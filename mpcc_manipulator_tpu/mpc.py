@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .config import N
 from .models import collision_nn as cnn
 from .models import dynamics as dyn
 from .models import kinematics as kin
@@ -77,8 +76,8 @@ def init_carry(dtype=jnp.float32, system: System = PANDA) -> MPCCarry:
         num_guess_failed=jnp.asarray(0, dtype=jnp.int32),
         qp_x=jnp.zeros(system.n_var, dtype=dtype),
         qp_y=jnp.zeros(system.n_constr, dtype=dtype),
-        ipm_s=jnp.ones((N + 1, system.nc_stage), dtype=dtype),
-        ipm_lam=jnp.ones((N + 1, system.nc_stage), dtype=dtype),
+        ipm_s=jnp.ones((system.horizon + 1, system.nc_stage), dtype=dtype),
+        ipm_lam=jnp.ones((system.horizon + 1, system.nc_stage), dtype=dtype),
     )
 
 
@@ -86,21 +85,22 @@ def _shift_warm_start(z: jnp.ndarray, x0: jnp.ndarray, ts,
                       system: System = PANDA) -> jnp.ndarray:
     """`updateInitialGuess` (`mpc.cpp:54-68`): shift knots down by one,
     pin knot 0 at x0, duplicate knot N-1, RK4-roll the new terminal knot."""
+    n = system.horizon
     xs, us = qp_data.split_z(z, system)
     xs_s = jnp.concatenate([x0[None, :], xs[2:], xs[-1:]], axis=0)  # knots 0..N-1
     us_s = jnp.concatenate([us[1:], us[-1:]], axis=0)
     # replicate reference ordering: x[N-1] copies x[N-2] *after* the shift
-    xs_s = xs_s.at[N - 1].set(xs_s[N - 2])
-    us_s = us_s.at[N - 1].set(us_s[N - 2])
-    x_term = dyn.rk4_step(xs_s[N - 1], us_s[N - 1], ts)
-    xs_new = jnp.concatenate([xs_s[:N], x_term[None, :]], axis=0)
+    xs_s = xs_s.at[n - 1].set(xs_s[n - 2])
+    us_s = us_s.at[n - 1].set(us_s[n - 2])
+    x_term = dyn.rk4_step(xs_s[n - 1], us_s[n - 1], ts)
+    xs_new = jnp.concatenate([xs_s[:n], x_term[None, :]], axis=0)
     return qp_data.join_z(xs_new, us_s)
 
 
 def _cold_start(x0: jnp.ndarray, dtype, system: System = PANDA) -> jnp.ndarray:
     """`generateNewInitialGuess` (`mpc.cpp:79-89`)."""
-    return jnp.concatenate([jnp.tile(x0, N + 1),
-                            jnp.zeros(N * system.nu, dtype=dtype)])
+    return jnp.concatenate([jnp.tile(x0, system.horizon + 1),
+                            jnp.zeros(system.horizon * system.nu, dtype=dtype)])
 
 
 def _unwrap_s(z: jnp.ndarray, length, system: System = PANDA) -> jnp.ndarray:

@@ -90,9 +90,9 @@ _P_CU = _block_grid(_P_ROW[:N], _U_OFF, NPC, NU)
 
 def split_z(z: jnp.ndarray, system: System = PANDA):
     """z (n_var,) -> xs (N+1, nx), us (N, nu)."""
-    nx, nu = system.nx, system.nu
-    xs = z[:nx * (N + 1)].reshape(N + 1, nx)
-    us = z[nx * (N + 1):].reshape(N, nu)
+    nx, nu, n = system.nx, system.nu, system.horizon
+    xs = z[:nx * (n + 1)].reshape(n + 1, nx)
+    us = z[nx * (n + 1):].reshape(n, nu)
     return xs, us
 
 
@@ -107,11 +107,16 @@ def us_padded(us: jnp.ndarray) -> jnp.ndarray:
                            axis=0)
 
 
-# Host-side (numpy) constant, deliberately NOT jnp: a module-level device
+# Host-side (numpy) constants, deliberately NOT jnp: a module-level device
 # array would be captured by every trace as a committed device buffer, which
 # on the tunneled-TPU backend permanently flips the process into slow
 # synchronous dispatch (docs/ARCHITECTURE.md "remote-TPU dispatch gotcha").
 _IS_TERMINAL = np.arange(N + 1) == N
+
+
+def _is_terminal(n: int) -> np.ndarray:
+    """Per-knot terminal mask for an ``n``-stage horizon (host numpy)."""
+    return np.arange(n + 1) == n
 
 
 # ------------------------------------------------------------------
@@ -124,13 +129,14 @@ def total_objective(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
                     system: System = PANDA) -> jnp.ndarray:
     """Scalar objective including the ddq smoothness term
     (`setCost` obj path, `osqp_interface.cpp:132-175`)."""
+    n = system.horizon
     xs, us = split_z(z, system)
     up = us_padded(us)
     objs = jax.vmap(
         lambda x, u, k, t: stage_cost(track, x, u, index_robot_data(rb, k), t,
                                       params, exact_heading_jac,
                                       with_derivatives=False, system=system)
-    )(xs, up, jnp.arange(N + 1), _IS_TERMINAL)
+    )(xs, up, jnp.arange(n + 1), _is_terminal(n))
     obj = jnp.sum(objs)
     ddq = us[1:, :system.dof] - us[:-1, :system.dof]
     obj = obj + params.cost.r_ddq * jnp.sum(ddq * ddq)
@@ -143,7 +149,7 @@ def constraint_values(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     """(constr, l, u) stacked over all rows, value-only
     (`setConstraints` without Jacobians) — used by the filter line search."""
     dtype = z.dtype
-    dof, nx, nu = system.dof, system.nx, system.nu
+    dof, nx, nu, n = system.dof, system.nx, system.nu, system.horizon
     xs, us = split_z(z, system)
     up = us_padded(us)
 
@@ -166,20 +172,20 @@ def constraint_values(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
         (us[0, :dof] / ts)[None, :],
         (us[1:, :dof] - us[:-1, :dof]) / ts,
     ], axis=0)  # (N, dof)
-    rate_pad = jnp.concatenate([rate, jnp.zeros((N, nu - dof), dtype=dtype)], axis=1)
+    rate_pad = jnp.concatenate([rate, jnp.zeros((n, nu - dof), dtype=dtype)], axis=1)
     c_rate = rate_pad.reshape(-1)
     b = params.bounds
-    l_bu = jnp.tile(b.u_l, N)
-    u_bu = jnp.tile(b.u_u, N)
+    l_bu = jnp.tile(b.u_l, n)
+    u_bu = jnp.tile(b.u_u, n)
     ddq_l0 = b.ddq_l + current_u[:dof] / ts
     ddq_u0 = b.ddq_u + current_u[:dof] / ts
     zpad = jnp.zeros(nu - dof, dtype=dtype)
     l_rate = jnp.concatenate([
         jnp.concatenate([ddq_l0, zpad]),
-        jnp.tile(jnp.concatenate([b.ddq_l, zpad]), N - 1)])
+        jnp.tile(jnp.concatenate([b.ddq_l, zpad]), n - 1)])
     u_rate = jnp.concatenate([
         jnp.concatenate([ddq_u0, zpad]),
-        jnp.tile(jnp.concatenate([b.ddq_u, zpad]), N - 1)])
+        jnp.tile(jnp.concatenate([b.ddq_u, zpad]), n - 1)])
     c_ineqb = jnp.concatenate([c_bx, c_bu, c_rate])
     l_ineqb = jnp.concatenate([bx_l.reshape(-1), l_bu, l_rate])
     u_ineqb = jnp.concatenate([bx_u.reshape(-1), u_bu, u_rate])
@@ -189,7 +195,7 @@ def constraint_values(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
         lambda x, u, k, t: stage_constraints(x, u, index_robot_data(rb, k), t,
                                              params, with_jacobian=False,
                                              system=system)
-    )(xs, up, jnp.arange(N + 1), _IS_TERMINAL)
+    )(xs, up, jnp.arange(n + 1), _is_terminal(n))
 
     constr = jnp.concatenate([c_eq, c_ineqb, cp.reshape(-1)])
     lvec = jnp.concatenate([l_eq, l_ineqb, cpl.reshape(-1)])
@@ -217,10 +223,12 @@ def build_qp(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     (normalized) solves  min 1/2 dz'P dz + qvec'dz  s.t.
     l - constr <= A dz <= u - constr  (the caller forms those offsets).
 
-    Panda-only: this dense layout exists for OSQP-conformance of the
-    reference's active system (its static index grids are built from the
-    Panda dims at import).  The system-generic path is the stage-separable
-    assembly in `qp_stages.py` + the Riccati/IPM backend.
+    Panda-only, default horizon only: this dense layout exists for
+    OSQP-conformance of the reference's active system (its static index
+    grids are built from the Panda dims and N=10 at import; a z of any
+    other horizon fails loudly in split_z).  The system- and
+    horizon-generic path is the stage-separable assembly in
+    `qp_stages.py` + the Riccati/IPM backend.
     """
     dtype = z.dtype
     tx = params.normalization.t_x
@@ -309,9 +317,9 @@ def build_qp(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
 def denormalize_step(step: jnp.ndarray, params: MPCCParams,
                      system: System = PANDA) -> jnp.ndarray:
     """Normalized QP step -> raw decision-space step (`deNormalizeStep`)."""
-    nx, nu = system.nx, system.nu
+    nx, nu, n = system.nx, system.nu, system.horizon
     tx = params.normalization.t_x
     tu = params.normalization.t_u
-    sx = step[:nx * (N + 1)].reshape(N + 1, nx) * tx[None, :]
-    su = step[nx * (N + 1):].reshape(N, nu) * tu[None, :]
+    sx = step[:nx * (n + 1)].reshape(n + 1, nx) * tx[None, :]
+    su = step[nx * (n + 1):].reshape(n, nu) * tu[None, :]
     return jnp.concatenate([sx.reshape(-1), su.reshape(-1)])

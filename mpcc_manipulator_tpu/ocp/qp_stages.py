@@ -37,13 +37,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..config import N
 from ..params import MPCCParams
 from ..splines.arc_length import TrackSpline
 from ..system import PANDA, System
 from .constraints import stage_constraints, state_bounds
 from .cost import stage_cost
-from .qp_data import _IS_TERMINAL, _discrete_ab, split_z, us_padded
+from .qp_data import _discrete_ab, _is_terminal, split_z, us_padded
 from .robot_data import RobotData, index_robot_data
 
 # Panda-instance dims kept as module constants for backward compatibility
@@ -74,12 +73,12 @@ class StageQP:
 
 
 def _row_masks(system: System, dtype):
-    nx, nu, dof = system.nx, system.nu, system.dof
-    m = np.zeros((N + 1, system.nc_stage))
+    nx, nu, dof, n_h = system.nx, system.nu, system.dof, system.horizon
+    m = np.zeros((n_h + 1, system.nc_stage))
     m[1:, 0:2 * nx] = 1.0                        # state box k >= 1
-    m[:N, 2 * nx:2 * nx + 2 * nu] = 1.0          # input box k <= N-1
-    m[:N, 2 * nx + 2 * nu:2 * nx + 2 * nu + 2 * dof] = 1.0  # rate rows
-    m[:N, 2 * nx + 2 * nu + 2 * dof:] = 1.0                 # polytopic
+    m[:n_h, 2 * nx:2 * nx + 2 * nu] = 1.0        # input box k <= N-1
+    m[:n_h, 2 * nx + 2 * nu:2 * nx + 2 * nu + 2 * dof] = 1.0  # rate rows
+    m[:n_h, 2 * nx + 2 * nu + 2 * dof:] = 1.0                 # polytopic
     return jnp.asarray(m, dtype=dtype)
 
 
@@ -94,6 +93,7 @@ def _cost_blocks_raw(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     """
     dtype = z.dtype
     nx, nu, dof = system.nx, system.nu, system.dof
+    n_h = system.horizon
     tx = params.normalization.t_x
     tu = params.normalization.t_u
     tx_inv = params.normalization.t_x_inv
@@ -105,17 +105,17 @@ def _cost_blocks_raw(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
         lambda x, u, k, t: stage_cost(track, x, u, index_robot_data(rb, k), t,
                                       params, exact_heading_jac,
                                       with_derivatives=True, system=system)
-    )(xs, up, jnp.arange(N + 1), _IS_TERMINAL)
+    )(xs, up, jnp.arange(n_h + 1), _is_terminal(n_h))
     g_x = fx * tx[None, :]
-    g_u = (fu * tu[None, :])[:N]
+    g_u = (fu * tu[None, :])[:n_h]
     h_xx = tx[None, :, None] * fxx * tx[None, None, :]
-    h_uu = (tu[None, :, None] * fuu * tu[None, None, :])[:N]
-    h_xu = (tx[None, :, None] * fxu * tu[None, None, :])[:N]
+    h_uu = (tu[None, :, None] * fuu * tu[None, None, :])[:n_h]
+    h_xu = (tx[None, :, None] * fxu * tu[None, None, :])[:n_h]
 
     # ddq smoothness: stage k covers the pair (u_k, u_{k-1}) for k = 1..N-1
     r_ddq = params.cost.r_ddq
     pair_mask = jnp.concatenate([jnp.zeros(1, dtype=dtype),
-                                 jnp.ones(N - 1, dtype=dtype)])
+                                 jnp.ones(n_h - 1, dtype=dtype)])
     two_r = 2.0 * r_ddq * pair_mask  # (N,)
     dq_all = us[:, :dof]
     dq_prev = jnp.concatenate([current_u[None, :dof], dq_all[:-1]], axis=0)
@@ -138,6 +138,7 @@ def _cost_blocks(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     dtype = z.dtype
     nx, nu, dof = system.nx, system.nu, system.dof
     nxt, nzt = system.nxt, system.nzt
+    n_h = system.horizon
     tu = params.normalization.t_u
     tudq = tu[:dof]
 
@@ -146,14 +147,14 @@ def _cost_blocks(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
                                     exact_heading_jac, system)
 
     # ---- stage Hessians/gradients in augmented coordinates
-    h = jnp.zeros((N, nzt, nzt), dtype=dtype)
-    g = jnp.zeros((N, nzt), dtype=dtype)
+    h = jnp.zeros((n_h, nzt, nzt), dtype=dtype)
+    g = jnp.zeros((n_h, nzt), dtype=dtype)
     # x-part cost of knot k lives in stage k's x~ block (k = 0..N-1)
-    h = h.at[:, :nx, :nx].set(h_xx[:N])
+    h = h.at[:, :nx, :nx].set(h_xx[:n_h])
     h = h.at[:, :nx, nxt:].set(h_xu)
     h = h.at[:, nxt:, :nx].set(jnp.swapaxes(h_xu, -1, -2))
     h = h.at[:, nxt:, nxt:].set(h_uu)
-    g = g.at[:, :nx].set(g_x[:N])
+    g = g.at[:, :nx].set(g_x[:n_h])
     g = g.at[:, nxt:].set(g_u)
 
     tu2 = tudq[:, None] * tudq[None, :] * jnp.eye(dof, dtype=dtype)
@@ -173,10 +174,10 @@ def _cost_blocks(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
         -two_r[:, None] * tudq[None, :] * ddq_pair)
 
     # terminal cost: knot N x-part only
-    h_term = jnp.zeros((nxt, nxt), dtype=dtype).at[:nx, :nx].set(h_xx[N])
-    g_term = jnp.zeros(nxt, dtype=dtype).at[:nx].set(g_x[N])
+    h_term = jnp.zeros((nxt, nxt), dtype=dtype).at[:nx, :nx].set(h_xx[n_h])
+    g_term = jnp.zeros(nxt, dtype=dtype).at[:nx].set(g_x[n_h])
 
-    e = jnp.zeros((N, nxt), dtype=dtype).at[:, :nx].set(-defect)
+    e = jnp.zeros((n_h, nxt), dtype=dtype).at[:, :nx].set(-defect)
     return h, g, h_term, g_term, e, xs, us, up, ddq_pair
 
 
@@ -188,6 +189,7 @@ def build_qp_stages(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     nx, nu, dof = system.nx, system.nu, system.dof
     nxt, nzt = system.nxt, system.nzt
     nc_stage = system.nc_stage
+    n_h = system.horizon
     s_idx = system.s_idx
     tx = params.normalization.t_x
     tu = params.normalization.t_u
@@ -206,16 +208,16 @@ def build_qp_stages(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     bt = bt.at[nx:, :].set(jnp.eye(nu, dtype=dtype))
 
     # ---- inequality rows
-    c_rows = jnp.zeros((N + 1, nc_stage, nzt), dtype=dtype)
-    d_vec = jnp.zeros((N + 1, nc_stage), dtype=dtype)
+    c_rows = jnp.zeros((n_h + 1, nc_stage, nzt), dtype=dtype)
+    d_vec = jnp.zeros((n_h + 1, nc_stage), dtype=dtype)
 
     # state box: T_x dx^ <= ux - x ; -T_x dx^ <= x - lx
     bx_l, bx_u = jax.vmap(
         lambda x: state_bounds(x, params, track.length, system))(xs)
     tx_diag = jnp.diag(tx)
-    c_rows = c_rows.at[:, 0:nx, :nx].set(jnp.tile(tx_diag[None], (N + 1, 1, 1)))
+    c_rows = c_rows.at[:, 0:nx, :nx].set(jnp.tile(tx_diag[None], (n_h + 1, 1, 1)))
     c_rows = c_rows.at[:, nx:2 * nx, :nx].set(
-        jnp.tile(-tx_diag[None], (N + 1, 1, 1)))
+        jnp.tile(-tx_diag[None], (n_h + 1, 1, 1)))
     d_vec = d_vec.at[:, 0:nx].set(bx_u - xs)
     d_vec = d_vec.at[:, nx:2 * nx].set(xs - bx_l)
     # The path-parameter rows are only weakly controllable over the first
@@ -231,28 +233,29 @@ def build_qp_stages(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     b = params.bounds
     tu_diag = jnp.diag(tu)
     o = 2 * nx
-    c_rows = c_rows.at[:N, o:o + nu, nxt:].set(jnp.tile(tu_diag[None], (N, 1, 1)))
-    c_rows = c_rows.at[:N, o + nu:o + 2 * nu, nxt:].set(
-        jnp.tile(-tu_diag[None], (N, 1, 1)))
-    d_vec = d_vec.at[:N, o:o + nu].set(b.u_u[None, :] - us)
-    d_vec = d_vec.at[:N, o + nu:o + 2 * nu].set(us - b.u_l[None, :])
+    c_rows = c_rows.at[:n_h, o:o + nu, nxt:].set(
+        jnp.tile(tu_diag[None], (n_h, 1, 1)))
+    c_rows = c_rows.at[:n_h, o + nu:o + 2 * nu, nxt:].set(
+        jnp.tile(-tu_diag[None], (n_h, 1, 1)))
+    d_vec = d_vec.at[:n_h, o:o + nu].set(b.u_u[None, :] - us)
+    d_vec = d_vec.at[:n_h, o + nu:o + 2 * nu].set(us - b.u_l[None, :])
 
     # ddq rate rows: (1/Ts) T_dq (du_k - du^_{k-1})
     o = 2 * nx + 2 * nu
     rate_blk = jnp.diag(tudq) / ts
-    c_rows = c_rows.at[:N, o:o + dof, nxt:nxt + dof].set(
-        jnp.tile(rate_blk[None], (N, 1, 1)))
-    c_rows = c_rows.at[:N, o:o + dof, nx:nx + dof].set(
-        jnp.tile(-rate_blk[None], (N, 1, 1)))
-    c_rows = c_rows.at[:N, o + dof:o + 2 * dof,
+    c_rows = c_rows.at[:n_h, o:o + dof, nxt:nxt + dof].set(
+        jnp.tile(rate_blk[None], (n_h, 1, 1)))
+    c_rows = c_rows.at[:n_h, o:o + dof, nx:nx + dof].set(
+        jnp.tile(-rate_blk[None], (n_h, 1, 1)))
+    c_rows = c_rows.at[:n_h, o + dof:o + 2 * dof,
                        nxt:nxt + dof].set(
-        jnp.tile(-rate_blk[None], (N, 1, 1)))
-    c_rows = c_rows.at[:N, o + dof:o + 2 * dof,
+        jnp.tile(-rate_blk[None], (n_h, 1, 1)))
+    c_rows = c_rows.at[:n_h, o + dof:o + 2 * dof,
                        nx:nx + dof].set(
-        jnp.tile(rate_blk[None], (N, 1, 1)))
+        jnp.tile(rate_blk[None], (n_h, 1, 1)))
     rate_val = ddq_pair / ts   # (N, dof) current rate values
-    d_vec = d_vec.at[:N, o:o + dof].set(b.ddq_u[None, :] - rate_val)
-    d_vec = d_vec.at[:N, o + dof:o + 2 * dof].set(
+    d_vec = d_vec.at[:n_h, o:o + dof].set(b.ddq_u[None, :] - rate_val)
+    d_vec = d_vec.at[:n_h, o + dof:o + 2 * dof].set(
         rate_val - b.ddq_l[None, :])
 
     # polytopic rows (upper-only): cx T_x dx^ + cu T_u du <= -c
@@ -260,10 +263,10 @@ def build_qp_stages(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
         lambda x, u, k, t: stage_constraints(x, u, index_robot_data(rb, k), t,
                                              params, with_jacobian=True,
                                              system=system)
-    )(xs, up, jnp.arange(N + 1), _IS_TERMINAL)
+    )(xs, up, jnp.arange(n_h + 1), _is_terminal(n_h))
     o = 2 * nx + 2 * nu + 2 * dof
     c_rows = c_rows.at[:, o:, :nx].set(cx * tx[None, None, :])
-    c_rows = c_rows.at[:N, o:, nxt:].set(cu[:N] * tu[None, None, :])
+    c_rows = c_rows.at[:n_h, o:, nxt:].set(cu[:n_h] * tu[None, None, :])
     d_vec = d_vec.at[:, o:].set(-cvals)
 
     return StageQP(h=h, g=g, h_term=h_term, g_term=g_term, at=at, bt=bt, e=e,
@@ -335,6 +338,7 @@ def build_qp_stages_s(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     structured form (equivalence is tested by packing: `tests/test_qp_ipm.py`)."""
     dtype = z.dtype
     nx, nu, dof = system.nx, system.nu, system.dof
+    n_h = system.horizon
     s_idx, vs_idx = system.s_idx, system.vs_idx
     tx = params.normalization.t_x
     tu = params.normalization.t_u
@@ -370,14 +374,14 @@ def build_qp_stages_s(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
         lambda x, u, k, t: stage_constraints(x, u, index_robot_data(rb, k), t,
                                              params, with_jacobian=True,
                                              system=system)
-    )(xs, up, jnp.arange(N + 1), _IS_TERMINAL)
+    )(xs, up, jnp.arange(n_h + 1), _is_terminal(n_h))
     cpx = cx * tx[None, None, :]
-    cpu = (cu * tu[None, None, :])[:N]
+    cpu = (cu * tu[None, None, :])[:n_h]
     d_p = -cvals
 
     m_x = jnp.concatenate([jnp.zeros(1, dtype=dtype),
-                           jnp.ones(N, dtype=dtype)])
-    m_u = jnp.concatenate([jnp.ones(N, dtype=dtype),
+                           jnp.ones(n_h, dtype=dtype)])
+    m_u = jnp.concatenate([jnp.ones(n_h, dtype=dtype),
                            jnp.zeros(1, dtype=dtype)])
     return StageQPS(h=h, g=g, h_term=h_term, g_term=g_term,
                     a_sv=a_sv, bd=bd, e=e,
@@ -500,7 +504,8 @@ def build_qp_stages_k(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
     r2 = two_r[:, None] * tu2[None, :]
     eye_u = jnp.eye(nu, dtype=dtype)
     huu = h_uu + eye_u[None] * jnp.concatenate(
-        [r2, jnp.zeros((N, nu - dof), dtype=dtype)], axis=1)[:, None, :]
+        [r2, jnp.zeros((system.horizon, nu - dof), dtype=dtype)],
+        axis=1)[:, None, :]
     g_sm = two_r[:, None] * tudq[None, :] * ddq_pair
     gu = g_u.at[:, :dof].add(g_sm)
     gxu = -g_sm
@@ -526,10 +531,10 @@ def build_qp_stages_k(track: TrackSpline, z: jnp.ndarray, rb: RobotData,
         lambda x, u, k, t: stage_constraints(x, u, index_robot_data(rb, k), t,
                                              params, with_jacobian=True,
                                              system=system)
-    )(xs, up, jnp.arange(N + 1), _IS_TERMINAL)
-    cpx = (cx * tx[None, None, :])[:N]
-    cpu = (cu * tu[None, None, :])[:N]
-    d_p = -cvals[:N]
+    )(xs, up, jnp.arange(system.horizon + 1), _is_terminal(system.horizon))
+    cpx = (cx * tx[None, None, :])[:system.horizon]
+    cpu = (cu * tu[None, None, :])[:system.horizon]
+    d_p = -cvals[:system.horizon]
 
     return StageQPK(hxx=h_xx, hux=jnp.swapaxes(h_xu, -1, -2), huu=huu,
                     r2=r2, gx=g_x, gu=gu, gxu=gxu, e=-defect,
@@ -565,8 +570,10 @@ def qpk_to_qps(qpk: StageQPK, system: System = PANDA) -> StageQPS:
                                                 dtype=dtype), a], axis=0)
     padN = lambda a: jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:],
                                                    dtype=dtype)], axis=0)
-    m_x = jnp.concatenate([jnp.zeros(1, dtype=dtype), jnp.ones(N, dtype=dtype)])
-    m_u = jnp.concatenate([jnp.ones(N, dtype=dtype), jnp.zeros(1, dtype=dtype)])
+    m_x = jnp.concatenate([jnp.zeros(1, dtype=dtype),
+                           jnp.ones(n_st, dtype=dtype)])
+    m_u = jnp.concatenate([jnp.ones(n_st, dtype=dtype),
+                           jnp.zeros(1, dtype=dtype)])
     return StageQPS(h=h, g=g, h_term=h_term, g_term=g_term,
                     a_sv=qpk.a_sv, bd=qpk.bd, e=e,
                     tx=qpk.tx, tu=qpk.tu, t_rate=qpk.t_rate,

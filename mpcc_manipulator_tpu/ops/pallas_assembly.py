@@ -40,7 +40,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import N
 from ..ocp.qp_stages import StageQPK
 from ..ocp.robot_data import RobotData
 from ..params import MPCCParams
@@ -298,7 +297,7 @@ def _assembly_kernel(xs_ref, us_ref, cu_ref,
                      hxx_out, huu_out, gx_out, gu_out, gxu_out, e_out,
                      dxu_out, dxl_out, duu_out, dul_out, dru_out, drl_out,
                      dp_out, cpx_out, cpu_out,
-                     *, nx, nu, dof, npc, ts, nseg, jr_sign):
+                     *, nx, nu, dof, npc, ts, nseg, jr_sign, n_h):
     f32 = jnp.float32
     s_idx, vs_idx, dvs_idx = dof, dof + 1, dof
     sc = lambda k: sc_ref[_SC[k], 0]           # packed scalar
@@ -316,8 +315,8 @@ def _assembly_kernel(xs_ref, us_ref, cu_ref,
     jr_inv = functools.partial(_jr_inv_k, jr_sign=jr_sign)
 
     # ---- per-knot sweep (static unroll; knot N is the terminal knot)
-    for k in range(N + 1):
-        term = k == N
+    for k in range(n_h + 1):
+        term = k == n_h
         x_k = xs_ref[k]                       # (nx, B)
         u_k = us_ref[k] if not term else jnp.zeros((nu, BT), f32)
 
@@ -579,23 +578,24 @@ def _build_batched(track: TrackSpline, z_b: jnp.ndarray, rb_b: RobotData,
                    interpret: bool = False) -> StageQPK:
     """Batched kernel assembly: z (b, n_var) etc. -> batched StageQPK."""
     nx, nu, dof, npc = system.nx, system.nu, system.dof, system.npc
+    n_h = system.horizon
     b = z_b.shape[0]
     f32 = jnp.float32
     in_dtype = z_b.dtype
 
-    xs = z_b[:, :nx * (N + 1)].reshape(b, N + 1, nx).astype(f32)
-    us = z_b[:, nx * (N + 1):].reshape(b, N, nu).astype(f32)
+    xs = z_b[:, :nx * (n_h + 1)].reshape(b, n_h + 1, nx).astype(f32)
+    us = z_b[:, nx * (n_h + 1):].reshape(b, n_h, nu).astype(f32)
     bl = lambda a: jnp.moveaxis(a.astype(f32), 0, -1)
 
     nl = system.num_links
     inputs = [
         bl(xs), bl(us), bl(cu_b),
-        bl(rb_b.ee_pos), bl(rb_b.ee_rot.reshape(b, N + 1, 9)),
-        bl(rb_b.jv.reshape(b, N + 1, 3 * dof)),
-        bl(rb_b.jw.reshape(b, N + 1, 3 * dof)),
+        bl(rb_b.ee_pos), bl(rb_b.ee_rot.reshape(b, n_h + 1, 9)),
+        bl(rb_b.jv.reshape(b, n_h + 1, 3 * dof)),
+        bl(rb_b.jw.reshape(b, n_h + 1, 3 * dof)),
         bl(rb_b.manipul[..., None]), bl(rb_b.d_manipul),
         bl(rb_b.sel_dist[..., None]), bl(rb_b.d_sel_dist),
-        bl(rb_b.env_dist), bl(rb_b.d_env_dist.reshape(b, N + 1, nl * dof)),
+        bl(rb_b.env_dist), bl(rb_b.d_env_dist.reshape(b, n_h + 1, nl * dof)),
         jnp.broadcast_to(
             jnp.reshape(rb_b.obs_radius.astype(f32), (b,))[None, :], (1, b)),
     ]
@@ -636,26 +636,26 @@ def _build_batched(track: TrackSpline, z_b: jnp.ndarray, rb_b: RobotData,
                             memory_space=pltpu.VMEM)
 
     out_shapes = [
-        jax.ShapeDtypeStruct((N + 1, nx * nx, b_pad), f32),  # hxx
-        jax.ShapeDtypeStruct((N, nu * nu, b_pad), f32),      # huu
-        jax.ShapeDtypeStruct((N + 1, nx, b_pad), f32),       # gx
-        jax.ShapeDtypeStruct((N, nu, b_pad), f32),           # gu
-        jax.ShapeDtypeStruct((N, dof, b_pad), f32),          # gxu
-        jax.ShapeDtypeStruct((N, nx, b_pad), f32),           # e
-        jax.ShapeDtypeStruct((N, nx, b_pad), f32),           # d_xu
-        jax.ShapeDtypeStruct((N, nx, b_pad), f32),           # d_xl
-        jax.ShapeDtypeStruct((N, nu, b_pad), f32),           # d_uu
-        jax.ShapeDtypeStruct((N, nu, b_pad), f32),           # d_ul
-        jax.ShapeDtypeStruct((N, dof, b_pad), f32),          # d_ru
-        jax.ShapeDtypeStruct((N, dof, b_pad), f32),          # d_rl
-        jax.ShapeDtypeStruct((N, npc, b_pad), f32),          # d_p
-        jax.ShapeDtypeStruct((N, npc * nx, b_pad), f32),     # cpx
-        jax.ShapeDtypeStruct((N, npc * nu, b_pad), f32),     # cpu
+        jax.ShapeDtypeStruct((n_h + 1, nx * nx, b_pad), f32),  # hxx
+        jax.ShapeDtypeStruct((n_h, nu * nu, b_pad), f32),      # huu
+        jax.ShapeDtypeStruct((n_h + 1, nx, b_pad), f32),       # gx
+        jax.ShapeDtypeStruct((n_h, nu, b_pad), f32),           # gu
+        jax.ShapeDtypeStruct((n_h, dof, b_pad), f32),          # gxu
+        jax.ShapeDtypeStruct((n_h, nx, b_pad), f32),           # e
+        jax.ShapeDtypeStruct((n_h, nx, b_pad), f32),           # d_xu
+        jax.ShapeDtypeStruct((n_h, nx, b_pad), f32),           # d_xl
+        jax.ShapeDtypeStruct((n_h, nu, b_pad), f32),           # d_uu
+        jax.ShapeDtypeStruct((n_h, nu, b_pad), f32),           # d_ul
+        jax.ShapeDtypeStruct((n_h, dof, b_pad), f32),          # d_ru
+        jax.ShapeDtypeStruct((n_h, dof, b_pad), f32),          # d_rl
+        jax.ShapeDtypeStruct((n_h, npc, b_pad), f32),          # d_p
+        jax.ShapeDtypeStruct((n_h, npc * nx, b_pad), f32),     # cpx
+        jax.ShapeDtypeStruct((n_h, npc * nu, b_pad), f32),     # cpu
     ]
 
     kern = functools.partial(
         _assembly_kernel, nx=nx, nu=nu, dof=dof, npc=npc, ts=float(ts),
-        nseg=nseg, jr_sign=(-1.0 if exact_heading_jac else 1.0))
+        nseg=nseg, jr_sign=(-1.0 if exact_heading_jac else 1.0), n_h=n_h)
     outs = pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -682,22 +682,23 @@ def _build_batched(track: TrackSpline, z_b: jnp.ndarray, rb_b: RobotData,
     bd = tx_inv[:, None] * bd_raw * tu_v[None, :]
     a_sv = (jnp.asarray(float(ts), dtype) * tx_v[system.vs_idx]
             * tx_inv[system.s_idx])
-    pair_mask = jnp.concatenate([jnp.zeros(1, dtype), jnp.ones(N - 1, dtype)])
+    pair_mask = jnp.concatenate([jnp.zeros(1, dtype),
+                                 jnp.ones(n_h - 1, dtype)])
     r2 = (2.0 * params.cost.r_ddq.astype(dtype) * pair_mask[:, None]
           * (tudq * tudq)[None, :])
     bcast = lambda a: jnp.broadcast_to(a[None], (b,) + a.shape)
 
     return StageQPK(
-        hxx=ub(hxx).reshape(b, N + 1, nx, nx),
-        hux=jnp.zeros((b, N, nu, nx), dtype=dtype),
-        huu=ub(huu).reshape(b, N, nu, nu),
+        hxx=ub(hxx).reshape(b, n_h + 1, nx, nx),
+        hux=jnp.zeros((b, n_h, nu, nx), dtype=dtype),
+        huu=ub(huu).reshape(b, n_h, nu, nu),
         r2=bcast(r2), gx=ub(gx), gu=ub(gu), gxu=ub(gxu), e=ub(e),
         a_sv=jnp.broadcast_to(a_sv[None], (b,)), bd=bcast(bd),
         tx=bcast(tx_v), tu=bcast(tu_v), t_rate=bcast(tudq / ts),
         d_xu=ub(d_xu), d_xl=ub(d_xl), d_uu=ub(d_uu), d_ul=ub(d_ul),
         d_ru=ub(d_ru), d_rl=ub(d_rl), d_p=ub(d_p),
-        cpx=ub(cpx).reshape(b, N, npc, nx),
-        cpu=ub(cpu).reshape(b, N, npc, nu))
+        cpx=ub(cpx).reshape(b, n_h, npc, nx),
+        cpu=ub(cpu).reshape(b, n_h, npc, nu))
 
 
 _ASM_CACHE: dict = {}
@@ -707,7 +708,8 @@ def make_pallas_assembly(system: System = PANDA, ts: float = 0.01,
                          exact_heading_jac: bool = False,
                          interpret: bool = False):
     """Build (and cache) the custom-vmap kernel assembly for a system."""
-    key = (system.name, float(ts), exact_heading_jac, interpret)
+    key = (system.name, system.horizon, float(ts), exact_heading_jac,
+           interpret)
     if key in _ASM_CACHE:
         return _ASM_CACHE[key]
 
@@ -758,7 +760,7 @@ def _eval_kernel(xs_ref, us_ref, cu_ref,
                  tx_ref, xl_ref, xu_ref, ul_ref, uu_ref,
                  ddql_ref, ddqu_ref,
                  obj_out, vio_out,
-                 *, nx, nu, dof, npc, ts, nseg):
+                 *, nx, nu, dof, npc, ts, nseg, n_h):
     """Stage objective + l1 violation of all rows at the iterate.
 
     Mirrors `qp_data.total_objective` + `constraint_values` +
@@ -776,8 +778,8 @@ def _eval_kernel(xs_ref, us_ref, cu_ref,
     obj = jnp.zeros((1, BT), f32)
     vio = jnp.zeros((1, BT), f32)
 
-    for k in range(N + 1):
-        term = k == N
+    for k in range(n_h + 1):
+        term = k == n_h
         x_k = xs_ref[k]
         u_k = us_ref[k] if not term else jnp.zeros((nu, BT), f32)
 
@@ -894,20 +896,21 @@ def _eval_batched(track: TrackSpline, z_b: jnp.ndarray, rb_b: RobotData,
                   system: System = PANDA, interpret: bool = False):
     """Batched (obj, violation) at iterates ``z_b`` (b, n_var)."""
     nx, nu, dof, npc = system.nx, system.nu, system.dof, system.npc
+    n_h = system.horizon
     b = z_b.shape[0]
     f32 = jnp.float32
     in_dtype = z_b.dtype
 
-    xs = z_b[:, :nx * (N + 1)].reshape(b, N + 1, nx).astype(f32)
-    us = z_b[:, nx * (N + 1):].reshape(b, N, nu).astype(f32)
+    xs = z_b[:, :nx * (n_h + 1)].reshape(b, n_h + 1, nx).astype(f32)
+    us = z_b[:, nx * (n_h + 1):].reshape(b, n_h, nu).astype(f32)
     bl = lambda a: jnp.moveaxis(a.astype(f32), 0, -1)
     nl = system.num_links
     inputs = [
         bl(xs), bl(us), bl(cu_b),
-        bl(rb_b.ee_pos), bl(rb_b.ee_rot.reshape(b, N + 1, 9)),
+        bl(rb_b.ee_pos), bl(rb_b.ee_rot.reshape(b, n_h + 1, 9)),
         bl(rb_b.manipul[..., None]), bl(rb_b.d_manipul),
         bl(rb_b.sel_dist[..., None]), bl(rb_b.d_sel_dist),
-        bl(rb_b.env_dist), bl(rb_b.d_env_dist.reshape(b, N + 1, nl * dof)),
+        bl(rb_b.env_dist), bl(rb_b.d_env_dist.reshape(b, n_h + 1, nl * dof)),
         jnp.broadcast_to(
             jnp.reshape(rb_b.obs_radius.astype(f32), (b,))[None, :], (1, b)),
     ]
@@ -948,7 +951,7 @@ def _eval_batched(track: TrackSpline, z_b: jnp.ndarray, rb_b: RobotData,
     out_shapes = [jax.ShapeDtypeStruct((1, b_pad), f32),
                   jax.ShapeDtypeStruct((1, b_pad), f32)]
     kern = functools.partial(_eval_kernel, nx=nx, nu=nu, dof=dof, npc=npc,
-                             ts=float(ts), nseg=nseg)
+                             ts=float(ts), nseg=nseg, n_h=n_h)
     obj, vio = pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -968,7 +971,7 @@ _EVAL_CACHE: dict = {}
 def make_pallas_eval(system: System = PANDA, ts: float = 0.01,
                      interpret: bool = False):
     """Build (and cache) the custom-vmap values-only eval for a system."""
-    key = (system.name, float(ts), interpret)
+    key = (system.name, system.horizon, float(ts), interpret)
     if key in _EVAL_CACHE:
         return _EVAL_CACHE[key]
 

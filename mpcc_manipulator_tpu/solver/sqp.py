@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..config import N
 from ..ocp import qp_data
 from ..ocp.robot_data import RobotData
 from ..params import MPCCParams, SQPConfig
@@ -99,7 +98,8 @@ def _soc_corrected_rep(rep, sol, z, track_length, params, solver: str,
     du_s = jnp.maximum(jnp.minimum(s_soc + tr, track_length) - s_cur, 1e-6)
     dl_s = jnp.maximum(s_cur - jnp.maximum(s_soc - tr, 0.0), 1e-6)
     if solver == "riccati_pallas":        # StageQPK: knots 1..N / 0..N-1
-        d_p = rep.d_p + jnp.einsum("krz,kz->kr", rep.cpx, dxn[:N])
+        d_p = rep.d_p + jnp.einsum("krz,kz->kr", rep.cpx,
+                                   dxn[:system.horizon])
         return rep.replace(d_p=d_p,
                            d_xu=rep.d_xu.at[:, s_idx].set(du_s[1:]),
                            d_xl=rep.d_xl.at[:, s_idx].set(dl_s[1:]))
@@ -124,24 +124,25 @@ def _stage_model_terms(rep, sol, solver: str, system: System):
     (`osqp_interface.cpp:726-729`)."""
     dxt, du = sol.dx_tilde, sol.du
     nx, dof = system.nx, system.dof
+    n_h = system.horizon
     if solver == "riccati_pallas":        # StageQPK compact blocks
         dx = dxt[:, :nx]
-        up = dxt[:N, nx:nx + dof]         # u_{k-1} slots of the augmentation
+        up = dxt[:n_h, nx:nx + dof]       # u_{k-1} slots of the augmentation
         q_dot = (jnp.einsum("kx,kx->", rep.gx, dx)
                  + jnp.einsum("ku,ku->", rep.gu, du)
                  + jnp.einsum("kd,kd->", rep.gxu, up))
         quad = (jnp.einsum("kx,kxy,ky->", dx, rep.hxx, dx)
-                + 2.0 * jnp.einsum("ku,kux,kx->", du, rep.hux, dx[:N])
+                + 2.0 * jnp.einsum("ku,kux,kx->", du, rep.hux, dx[:n_h])
                 + jnp.einsum("ku,kuv,kv->", du, rep.huu, du)
                 # r2 couples u_prev with du: huu already carries +r2 on the
                 # du diagonal; the remaining terms are up^2 - 2 up du
                 + jnp.sum(rep.r2 * (up * up - 2.0 * up * du[:, :dof])))
         return q_dot, quad
     # StageQP / StageQPS share the (h, g, h_term, g_term) layout
-    zs = jnp.concatenate([dxt[:N], du], axis=1)       # (N, nzt)
-    q_dot = jnp.einsum("kz,kz->", rep.g, zs) + jnp.dot(rep.g_term, dxt[N])
+    zs = jnp.concatenate([dxt[:n_h], du], axis=1)     # (N, nzt)
+    q_dot = jnp.einsum("kz,kz->", rep.g, zs) + jnp.dot(rep.g_term, dxt[n_h])
     quad = (jnp.einsum("kz,kzv,kv->", zs, rep.h, zs)
-            + dxt[N] @ rep.h_term @ dxt[N])
+            + dxt[n_h] @ rep.h_term @ dxt[n_h])
     return q_dot, quad
 
 
@@ -509,7 +510,7 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
     # IPM warm-state slots (riccati paths; 1x1 placeholders on ADMM)
     if riccati:
         nc_stage = system.nc_stage
-        ipm_ones = jnp.ones((N + 1, nc_stage), dtype=dtype)
+        ipm_ones = jnp.ones((system.horizon + 1, nc_stage), dtype=dtype)
         ipm_s_init = ipm_s0 if ipm_s0 is not None else ipm_ones
         ipm_lam_init = ipm_lam0 if ipm_lam0 is not None else ipm_ones
     else:
@@ -551,8 +552,9 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
 
     success = status == Status.SOLVED
     # zero-velocity fallback guess (`osqp_interface.cpp:422-428, 587`)
-    xs0 = jnp.tile(z0[:nx], N + 1)
-    zero_guess = jnp.concatenate([xs0, jnp.zeros(nu * N, dtype=dtype)])
+    xs0 = jnp.tile(z0[:nx], system.horizon + 1)
+    zero_guess = jnp.concatenate([xs0, jnp.zeros(nu * system.horizon,
+                                                 dtype=dtype)])
     z_final = jnp.where(success, z, zero_guess)
 
     return SQPResult(z=z_final, lam=lam, status=status, sqp_iters=it,

@@ -23,8 +23,11 @@ from __future__ import annotations
 
 import dataclasses
 
-# Horizon and spline resolution are shared across systems
-# (`cpp/include/config.h:35-36`).
+# Default horizon and spline resolution (`cpp/include/config.h:35-36`).
+# The reference bakes N=10 at compile time; here it is a *field* of the
+# static System descriptor, so any horizon compiles through the same
+# stage-separable machinery (`dataclasses.replace(PANDA, horizon=20)`) —
+# the long-context scaling axis of SURVEY.md §5.
 N = 10
 N_SPLINE = 100
 INF = 1e30
@@ -38,6 +41,7 @@ class System:
     base_dof: int        # 0 (fixed base) or 3 (planar virtual joints)
     arm_dof: int = 7
     num_links: int = 9   # env-collision distance rows (link0..7 + hand)
+    horizon: int = N     # MPC horizon (knots 0..horizon)
 
     # ---- velocity-controlled generalized coordinates
     @property
@@ -81,20 +85,21 @@ class System:
     # ---- dense decision-vector layout (`osqp_interface.h:113-117`)
     @property
     def n_var(self) -> int:
-        return self.nx * (N + 1) + self.nu * N
+        return self.nx * (self.horizon + 1) + self.nu * self.horizon
 
     @property
     def n_eq(self) -> int:
-        return self.nx * (N + 1)
+        return self.nx * (self.horizon + 1)
 
     @property
     def n_ineqb(self) -> int:
         # state boxes + input boxes + rate rows (nu-strided, dof used/knot)
-        return self.nx * (N + 1) + self.nu * N + self.nu * N
+        return (self.nx * (self.horizon + 1) + self.nu * self.horizon
+                + self.nu * self.horizon)
 
     @property
     def n_ineqp(self) -> int:
-        return self.npc * (N + 1)
+        return self.npc * (self.horizon + 1)
 
     @property
     def n_constr(self) -> int:
