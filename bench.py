@@ -376,6 +376,21 @@ def main():
         m_res["vs_baseline"] = round(
             m_res["solves_per_sec_per_chip"] / 100.0, 3)
         result["husky_panda"] = m_res
+        # matched-batch point: the r5 batch curve put the mobile knee at
+        # ~512-1024 (124.7k @1024 vs 104.5k @4096 — the 4096 penalty is
+        # the batched while-loop running to the slowest of 4096 lanes);
+        # report husky@1024 for apples-to-apples with the Panda headline
+        if mobile_batch != 1024:
+            m1k, _ = _measure_system(
+                SYSTEMS["husky_panda"], 1024, cfg,
+                reps_single=0, reps_batched=12, k_batched=(3, 23),
+                with_flops=False)
+            result["husky_panda_b1024"] = {
+                "solves_per_sec_per_chip": m1k["solves_per_sec_per_chip"],
+                "batched_step_p50_ms": m1k["batched_step_p50_ms"],
+                "vs_baseline": round(
+                    m1k["solves_per_sec_per_chip"] / 100.0, 3),
+            }
 
     print(json.dumps(result))
 

@@ -41,8 +41,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _build_problem, X0_HOME
+    from __graft_entry__ import _build_problem, X0_HOME, X0_HOME_MOBILE
     from mpcc_manipulator_tpu.params import SQPConfig
+    from mpcc_manipulator_tpu.system import SYSTEMS
     from mpcc_manipulator_tpu.mpc import mpc_step
     from mpcc_manipulator_tpu.ocp import qp_stages as qps
     from mpcc_manipulator_tpu.ocp import qp_data
@@ -52,9 +53,13 @@ def main():
 
     dtype = jnp.float32
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    track, params, _, sel_nn, env_nn, carry, x0, u0, obs = _build_problem(
-        dtype, small=False)
     import os
+    system = SYSTEMS[os.environ.get("MPCC_SYSTEM", "panda")]
+    nx, nu, dof = system.nx, system.nu, system.dof
+    n_knots = system.horizon + 1
+    x_home = X0_HOME if system.name == "panda" else X0_HOME_MOBILE
+    track, params, _, sel_nn, env_nn, carry, x0, u0, obs = _build_problem(
+        dtype, small=False, system=system)
     cfg = SQPConfig(max_iter=20,
                     qp_solver=os.environ.get("MPCC_QP_SOLVER", "riccati_pallas"),
                     ipm_max_iter=25,
@@ -65,25 +70,26 @@ def main():
     ts = 0.01
 
     rng = np.random.default_rng(0)
-    q_b = jnp.asarray(X0_HOME[None, :7]
-                      + 0.01 * rng.standard_normal((batch, 7)), dtype=dtype)
+    q_b = jnp.asarray(x_home[None, :dof]
+                      + 0.01 * rng.standard_normal((batch, dof)), dtype=dtype)
     obs_b = jnp.tile(obs[None, :], (batch, 1))
     rad_b = jnp.zeros(batch, dtype=dtype)
 
-    n_var = 179
+    n_var = system.n_var
     z_b = jnp.asarray(
-        np.tile(np.concatenate([np.tile(X0_HOME, 11), np.zeros(80)])[None],
+        np.tile(np.concatenate([np.tile(x_home, n_knots),
+                                np.zeros(nu * system.horizon)])[None],
                 (batch, 1))
         + 0.001 * rng.standard_normal((batch, n_var)), dtype=dtype)
-    u_b = jnp.zeros((batch, 8), dtype=dtype)
+    u_b = jnp.zeros((batch, nu), dtype=dtype)
 
     # ---- phase: robot_data (chained; re-feed a scalar to defeat CSE)
     @jax.jit
     def chain_rb(qs, o, r, k):
         def body(i, qcur):
             rb = jax.vmap(lambda q, oo, rr: compute_robot_data(
-                jnp.tile(q[None], (11, 1)), oo, rr, sel_nn, env_nn,
-                mani_grad="analytic"))(qcur, o, r)
+                jnp.tile(q[None], (n_knots, 1)), oo, rr, sel_nn, env_nn,
+                mani_grad="analytic", system=system))(qcur, o, r)
             # consume EVERY field: reducing only sel_dist lets XLA
             # dead-code-eliminate the env-NN Jacobian (the dominant cost) —
             # r4 measured a bogus 0.18 us/scenario that way
@@ -105,15 +111,15 @@ def main():
 
     # ---- phase: assembly (robot data fixed)
     rb_b = jax.jit(jax.vmap(lambda q, oo, rr: compute_robot_data(
-        jnp.tile(q[None], (11, 1)), oo, rr, sel_nn, env_nn, mani_grad="ad"))
-    )(q_b, obs_b, rad_b)
+        jnp.tile(q[None], (n_knots, 1)), oo, rr, sel_nn, env_nn,
+        mani_grad="ad", system=system)))(q_b, obs_b, rad_b)
 
     @jax.jit
     def chain_asm(zs, k):
         def body(i, zcur):
             st = jax.vmap(lambda z, rb: qps.build_qp_stages(
-                track, z, rb, params, jnp.zeros(8, dtype=dtype), ts, False)
-            )(zcur, rb_b)
+                track, z, rb, params, jnp.zeros(nu, dtype=dtype), ts, False,
+                system=system))(zcur, rb_b)
             return zcur + 1e-20 * st.g[:, 0, 0][:, None]
         return jax.lax.fori_loop(0, k, body, zs)
 
@@ -123,8 +129,8 @@ def main():
 
     # ---- phase: IPM solve (QP fixed)
     st_b = jax.jit(jax.vmap(lambda z, rb: qps.build_qp_stages(
-        track, z, rb, params, jnp.zeros(8, dtype=dtype), ts, False))
-    )(z_b, rb_b)
+        track, z, rb, params, jnp.zeros(nu, dtype=dtype), ts, False,
+        system=system)))(z_b, rb_b)
 
     @jax.jit
     def chain_ipm(seed, k):
@@ -141,14 +147,15 @@ def main():
     # ---- phase: pallas IPM solve (kernel-direct QP fixed)
     from mpcc_manipulator_tpu.solver import qp_ipm_pallas
     sts_b = jax.jit(jax.vmap(lambda z, rb: qps.build_qp_stages_k(
-        track, z, rb, params, jnp.zeros(8, dtype=dtype), ts, False))
-    )(z_b, rb_b)
+        track, z, rb, params, jnp.zeros(nu, dtype=dtype), ts, False,
+        system=system)))(z_b, rb_b)
 
     @jax.jit
     def chain_pipm(seed, k):
         def body(i, s):
             st2 = sts_b.replace(gx=sts_b.gx + 1e-20 * s[:, None, None])
-            sol = qp_ipm_pallas._solve_batched(st2, max_iter=25,
+            sol = qp_ipm_pallas._solve_batched(st2, system=system,
+                                               max_iter=25,
                                                scheme=cfg.ipm_scheme)
             return s + 1e-20 * sol.du[:, 0, 0]
         return jax.lax.fori_loop(0, k, body, seed)
@@ -162,8 +169,8 @@ def main():
     def chain_asms(zs, k):
         def body(i, zcur):
             st = jax.vmap(lambda z, rb: qps.build_qp_stages_s(
-                track, z, rb, params, jnp.zeros(8, dtype=dtype), ts, False)
-            )(zcur, rb_b)
+                track, z, rb, params, jnp.zeros(nu, dtype=dtype), ts, False,
+                system=system))(zcur, rb_b)
             return zcur + 1e-20 * st.g[:, 0, 0][:, None]
         return jax.lax.fori_loop(0, k, body, zs)
 
@@ -176,8 +183,8 @@ def main():
     def chain_asmk(zs, k):
         def body(i, zcur):
             st = jax.vmap(lambda z, rb: qps.build_qp_stages_k(
-                track, z, rb, params, jnp.zeros(8, dtype=dtype), ts, False)
-            )(zcur, rb_b)
+                track, z, rb, params, jnp.zeros(nu, dtype=dtype), ts, False,
+                system=system))(zcur, rb_b)
             return zcur + 1e-20 * st.gx[:, 0, 0][:, None]
         return jax.lax.fori_loop(0, k, body, zs)
 
@@ -192,7 +199,8 @@ def main():
     def chain_asmp(zs, k):
         def body(i, zcur):
             st = pasm._build_batched(track, zcur, rb_b, params,
-                                     jnp.zeros((batch, 8), dtype=dtype), ts)
+                                     jnp.zeros((batch, nu), dtype=dtype), ts,
+                                     system=system)
             return zcur + 1e-20 * st.gx[:, 0, 0][:, None]
         return jax.lax.fori_loop(0, k, body, zs)
 
@@ -205,7 +213,8 @@ def main():
     def chain_evalp(zs, k):
         def body(i, zcur):
             o, v = pasm._eval_batched(track, zcur, rb_b, params,
-                                      jnp.zeros((batch, 8), dtype=dtype), ts)
+                                      jnp.zeros((batch, nu), dtype=dtype), ts,
+                                      system=system)
             return zcur + 1e-20 * (o + v)[:, None]
         return jax.lax.fori_loop(0, k, body, zs)
 
@@ -218,9 +227,11 @@ def main():
     def chain_eval(zs, k):
         def body(i, zcur):
             def one(z, rb):
-                obj = qp_data.total_objective(track, z, rb, params, False)
+                obj = qp_data.total_objective(track, z, rb, params, False,
+                                              system=system)
                 c, l, u = qp_data.constraint_values(
-                    track, z, rb, params, jnp.zeros(8, dtype=dtype), ts)
+                    track, z, rb, params, jnp.zeros(nu, dtype=dtype), ts,
+                    system=system)
                 return obj + jnp.sum(jnp.maximum(c - u, 0.0))
             v = jax.vmap(one)(zcur, rb_b)
             return zcur + 1e-20 * v[:, None]
@@ -232,12 +243,13 @@ def main():
 
     # ---- whole tick
     from mpcc_manipulator_tpu.parallel import sharding as shd
-    carry_b = shd.batch_init_carry(batch, dtype)
-    x0_b = jnp.asarray(X0_HOME[None, :]
-                       + 0.01 * rng.standard_normal((batch, 9)), dtype=dtype)
+    carry_b = shd.batch_init_carry(batch, dtype, system=system)
+    x0_b = jnp.asarray(x_home[None, :]
+                       + 0.01 * rng.standard_normal((batch, nx)), dtype=dtype)
     batched_step = jax.vmap(
         lambda c, x, u, o, r: mpc_step(track, params, sel_nn, env_nn,
-                                       c, x, u, o, r, ts=ts, cfg=cfg))
+                                       c, x, u, o, r, ts=ts, cfg=cfg,
+                                       system=system))
 
     @jax.jit
     def chain_tick(cb, xb, ub, ob, rb, k):
