@@ -324,6 +324,9 @@ def main():
         # Jacobian + analytic manipulability gradient in lanes; the
         # collision-NN matmuls stay XLA/MXU.  MPCC_KIN_BACKEND=xla ablates.
         kin_backend=os.environ.get("MPCC_KIN_BACKEND", "pallas"),
+        # MPCC_NN_BF16=1: collision-NN GEMMs in bf16/f32-accum (ablation;
+        # default off — see ARCHITECTURE.md tolerance discussion)
+        nn_bf16=os.environ.get("MPCC_NN_BF16", "0") == "1",
     )
 
     primary_name = os.environ.get("MPCC_SYSTEM", "panda")

@@ -54,16 +54,34 @@ def _nerf_jacobian(x: jnp.ndarray) -> jnp.ndarray:
     ], axis=0)
 
 
-def mlp_forward(params: MLPParams, x: jnp.ndarray, is_nerf: bool = True) -> jnp.ndarray:
+def _mm(a, b, mm_dtype):
+    """Matmul with an optional reduced-precision MXU path.
+
+    ``mm_dtype="bfloat16"`` casts both operands to bf16 and accumulates in
+    float32 (``preferred_element_type``) — the TPU MXU's native mixed
+    precision; result is cast back to the pipeline dtype.  ``None`` is the
+    full-precision default (conformance mode).
+    """
+    if mm_dtype is None:
+        return a @ b
+    bd = jnp.dtype(mm_dtype)
+    return jnp.matmul(a.astype(bd), b.astype(bd),
+                      preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+def mlp_forward(params: MLPParams, x: jnp.ndarray, is_nerf: bool = True,
+                mm_dtype=None) -> jnp.ndarray:
     """Value-only forward pass (used by line-search-style cheap evals)."""
     h = nerf_encode(x) if is_nerf else x
     n_layer = len(params.weights)
     for i in range(n_layer - 1):
-        h = jnp.maximum(params.weights[i] @ h + params.biases[i], 0.0)
-    return params.weights[-1] @ h + params.biases[-1]
+        h = jnp.maximum(_mm(params.weights[i], h, mm_dtype)
+                        + params.biases[i], 0.0)
+    return _mm(params.weights[-1], h, mm_dtype) + params.biases[-1]
 
 
-def mlp_forward_jacobian(params: MLPParams, x: jnp.ndarray, is_nerf: bool = True):
+def mlp_forward_jacobian(params: MLPParams, x: jnp.ndarray, is_nerf: bool = True,
+                         mm_dtype=None):
     """Forward pass + analytic input Jacobian.
 
     Returns ``(y (n_out,), dy/dx (n_out, n_in))``; values identical to the
@@ -84,23 +102,23 @@ def mlp_forward_jacobian(params: MLPParams, x: jnp.ndarray, is_nerf: bool = True
         # reverse accumulation: propagate (n_out, width) from the output
         masks = []
         for i in range(n_layer - 1):
-            z = params.weights[i] @ h + params.biases[i]
+            z = _mm(params.weights[i], h, mm_dtype) + params.biases[i]
             masks.append((z > 0.0).astype(x.dtype))
             h = jnp.maximum(z, 0.0)
-        y = params.weights[-1] @ h + params.biases[-1]
+        y = _mm(params.weights[-1], h, mm_dtype) + params.biases[-1]
         jac = params.weights[-1]
         for i in reversed(range(n_layer - 1)):
-            jac = (jac * masks[i][None, :]) @ params.weights[i]
+            jac = _mm(jac * masks[i][None, :], params.weights[i], mm_dtype)
     else:
         # forward accumulation (reference direction)
         jac = jnp.eye(n_enc, dtype=x.dtype)
         for i in range(n_layer - 1):
-            z = params.weights[i] @ h + params.biases[i]
+            z = _mm(params.weights[i], h, mm_dtype) + params.biases[i]
             mask = (z > 0.0).astype(x.dtype)
             h = jnp.maximum(z, 0.0)
-            jac = (mask[:, None] * params.weights[i]) @ jac
-        y = params.weights[-1] @ h + params.biases[-1]
-        jac = params.weights[-1] @ jac
+            jac = _mm(mask[:, None] * params.weights[i], jac, mm_dtype)
+        y = _mm(params.weights[-1], h, mm_dtype) + params.biases[-1]
+        jac = _mm(params.weights[-1], jac, mm_dtype)
 
     if is_nerf:
         jac = jac @ _nerf_jacobian(x)

@@ -150,7 +150,8 @@ def mpc_step(track: TrackSpline, params: MPCCParams, sel_nn: cnn.MLPParams,
     rb = compute_robot_data(xs0[:, :system.dof], obs_pos, obs_radius, sel_nn,
                             env_nn, mani_grad=cfg.mani_grad, system=system,
                             kin_backend=cfg.kin_backend,
-                            kin_interpret=cfg.ipm_interpret)
+                            kin_interpret=cfg.ipm_interpret,
+                            nn_mm_dtype="bfloat16" if cfg.nn_bf16 else None)
 
     # --- 5. SQP (QP warm start carried across ticks; zeroed on cold start)
     qp_x0 = jnp.where(valid, carry.qp_x, 0.0)

@@ -69,7 +69,7 @@ class RobotData:
 
 
 def _single_knot(q, obs_pos, sel_nn: cnn.MLPParams, env_nn: cnn.MLPParams,
-                 mani_grad: str = "fd"):
+                 mani_grad: str = "fd", nn_mm_dtype=None):
     p_ee, r_ee, origins, axes = kin.fk_chain(q)
     jv = jnp.cross(axes, p_ee[None, :] - origins).T
     jw = axes.T
@@ -81,16 +81,17 @@ def _single_knot(q, obs_pos, sel_nn: cnn.MLPParams, env_nn: cnn.MLPParams,
         manipul = kin.manipulability(q)
         d_manipul = (kin.manipulability_gradient_fd(q) if mani_grad == "fd"
                      else kin.manipulability_gradient_ad(q))
-    sel, d_sel = cnn.mlp_forward_jacobian(sel_nn, q)
+    sel, d_sel = cnn.mlp_forward_jacobian(sel_nn, q, mm_dtype=nn_mm_dtype)
     env_in = jnp.concatenate([q, obs_pos])
-    env, d_env_full = cnn.mlp_forward_jacobian(env_nn, env_in)
+    env, d_env_full = cnn.mlp_forward_jacobian(env_nn, env_in,
+                                               mm_dtype=nn_mm_dtype)
     # reference slices the env Jacobian to the joint columns (`robot_data.h:85`)
     d_env = d_env_full[:, :q.shape[0]]
     return p_ee, r_ee, jv, jw, manipul, d_manipul, sel[0], d_sel[0], env, d_env
 
 
 def _single_knot_mobile(q_m, obs_pos, sel_nn: cnn.MLPParams,
-                        env_nn: cnn.MLPParams):
+                        env_nn: cnn.MLPParams, nn_mm_dtype=None):
     """10-DOF variant: q_m = [x_b, y_b, th_b, q1..q7]."""
     dtype = q_m.dtype
     base, q = kinm.split_q(q_m)
@@ -105,14 +106,15 @@ def _single_knot_mobile(q_m, obs_pos, sel_nn: cnn.MLPParams,
         [jnp.zeros(3, dtype=dtype), kin.manipulability_gradient_ad(q)])
 
     # self-collision: arm joints only; base columns zero
-    sel, d_sel_arm = cnn.mlp_forward_jacobian(sel_nn, q)
+    sel, d_sel_arm = cnn.mlp_forward_jacobian(sel_nn, q, mm_dtype=nn_mm_dtype)
     d_sel = jnp.concatenate([jnp.zeros(3, dtype=dtype), d_sel_arm[0]])
 
     # env-collision: obstacle expressed in the (moving) arm base frame
     rel = obs_pos - pb
     obs_local = rb.T @ rel
     env_in = jnp.concatenate([q, obs_local])
-    env, d_env_full = cnn.mlp_forward_jacobian(env_nn, env_in)
+    env, d_env_full = cnn.mlp_forward_jacobian(env_nn, env_in,
+                                               mm_dtype=nn_mm_dtype)
     d_env_q = d_env_full[:, :q.shape[0]]
     d_env_o = d_env_full[:, q.shape[0]:]          # (links, 3) wrt obs_local
     # chain rule: d obs_local/d(x_b, y_b, th_b)
@@ -127,23 +129,25 @@ def _single_knot_mobile(q_m, obs_pos, sel_nn: cnn.MLPParams,
     return p_ee, r_ee, jv, jw, manipul, d_manipul, sel[0], d_sel, env, d_env
 
 
-def _nn_knot(q, obs_pos, sel_nn, env_nn, system: System):
+def _nn_knot(q, obs_pos, sel_nn, env_nn, system: System, nn_mm_dtype=None):
     """The NN half of one knot (self/env distances + Jacobians) — real
     matmuls; stays XLA regardless of the kinematics backend."""
     dtype = q.dtype
     if system.base_dof == 0:
-        sel, d_sel = cnn.mlp_forward_jacobian(sel_nn, q)
+        sel, d_sel = cnn.mlp_forward_jacobian(sel_nn, q,
+                                              mm_dtype=nn_mm_dtype)
         env, d_env_full = cnn.mlp_forward_jacobian(
-            env_nn, jnp.concatenate([q, obs_pos]))
+            env_nn, jnp.concatenate([q, obs_pos]), mm_dtype=nn_mm_dtype)
         return sel[0], d_sel[0], env, d_env_full[:, :q.shape[0]]
     base, q_arm = kinm.split_q(q)
     rb, pb = kinm._base_transform(base)
-    sel, d_sel_arm = cnn.mlp_forward_jacobian(sel_nn, q_arm)
+    sel, d_sel_arm = cnn.mlp_forward_jacobian(sel_nn, q_arm,
+                                              mm_dtype=nn_mm_dtype)
     d_sel = jnp.concatenate([jnp.zeros(3, dtype=dtype), d_sel_arm[0]])
     rel = obs_pos - pb
     obs_local = rb.T @ rel
     env, d_env_full = cnn.mlp_forward_jacobian(
-        env_nn, jnp.concatenate([q_arm, obs_local]))
+        env_nn, jnp.concatenate([q_arm, obs_local]), mm_dtype=nn_mm_dtype)
     d_env_q = d_env_full[:, :q_arm.shape[0]]
     d_env_o = d_env_full[:, q_arm.shape[0]:]
     th = base[2]
@@ -161,7 +165,8 @@ def compute_robot_data(qs: jnp.ndarray, obs_pos: jnp.ndarray, obs_radius,
                        mani_grad: str = "fd",
                        system: System = PANDA,
                        kin_backend: str = "xla",
-                       kin_interpret: bool | None = None) -> RobotData:
+                       kin_interpret: bool | None = None,
+                       nn_mm_dtype: str | None = None) -> RobotData:
     """Evaluate the full cache for a batch of joint configurations.
 
     ``qs``: (K, dof) — typically K = N+1 horizon knots.  The obstacle is
@@ -171,6 +176,11 @@ def compute_robot_data(qs: jnp.ndarray, obs_pos: jnp.ndarray, obs_radius,
     ``kin_backend="pallas"`` computes the kinematic half (FK, point
     Jacobian, manipulability + analytic gradient) in the fused lane-batch
     kernel (`ops/pallas_kinematics.py`) and only the NN half in XLA.
+
+    ``nn_mm_dtype="bfloat16"`` runs the collision-NN GEMMs in bf16 with
+    f32 accumulation (MXU mixed precision) — measured A/B drift and the
+    default decision are recorded in docs/ARCHITECTURE.md and
+    tests/test_nn_bf16.py.
     """
     if kin_backend == "pallas":
         if system.base_dof == 0 and mani_grad != "analytic":
@@ -182,7 +192,8 @@ def compute_robot_data(qs: jnp.ndarray, obs_pos: jnp.ndarray, obs_radius,
         p_ee, r_ee, jv, jw, mani, d_mani = kin_sweep(
             qs, system=system, interpret=kin_interpret)
         sel, d_sel, env, d_env = jax.vmap(
-            lambda q: _nn_knot(q, obs_pos, sel_nn, env_nn, system))(qs)
+            lambda q: _nn_knot(q, obs_pos, sel_nn, env_nn, system,
+                               nn_mm_dtype))(qs)
         return RobotData(
             q=qs, ee_pos=p_ee, ee_rot=r_ee, jv=jv, jw=jw,
             manipul=mani, d_manipul=d_mani,
@@ -191,9 +202,11 @@ def compute_robot_data(qs: jnp.ndarray, obs_pos: jnp.ndarray, obs_radius,
             obs_radius=jnp.asarray(obs_radius, dtype=qs.dtype),
         )
     if system.base_dof == 0:
-        f = jax.vmap(lambda q: _single_knot(q, obs_pos, sel_nn, env_nn, mani_grad))
+        f = jax.vmap(lambda q: _single_knot(q, obs_pos, sel_nn, env_nn,
+                                            mani_grad, nn_mm_dtype))
     else:
-        f = jax.vmap(lambda q: _single_knot_mobile(q, obs_pos, sel_nn, env_nn))
+        f = jax.vmap(lambda q: _single_knot_mobile(q, obs_pos, sel_nn, env_nn,
+                                                   nn_mm_dtype))
     p_ee, r_ee, jv, jw, mani, d_mani, sel, d_sel, env, d_env = f(qs)
     return RobotData(
         q=qs, ee_pos=p_ee, ee_rot=r_ee, jv=jv, jw=jw,

@@ -287,6 +287,11 @@ class SQPConfig:
     # ZERO cross-partition collectives (asserted in tests/test_multihost.py
     # and tests/test_weak_scaling.py).
     fleet_mode: bool = False
+    # Collision-NN GEMMs in bfloat16 with f32 accumulation (MXU mixed
+    # precision).  OFF by default: the measured win is small next to the
+    # conformance risk (A/B numbers in docs/ARCHITECTURE.md; drift bounds
+    # pinned in tests/test_nn_bf16.py).
+    nn_bf16: bool = False
     # IPM centering scheme: "adaptive" (one Riccati solve/iteration, sigma
     # from achieved step length) or "mehrotra" (predictor-corrector; the
     # corrector reuses the iteration's Riccati factorization).

@@ -27,6 +27,17 @@ Exit 0 = no crash (the pair ran fine under pressure).  A segfault
     or allocator fragmentation).  Mitigations now centralized: the test
     conftest enables a persistent compilation cache (repeat runs skip the
     compiles entirely) and the one affected test runs in a subprocess.
+  * 2026-08-21 (round 5): extended to the suite's END state — ``--hold``
+    keeps all 160 pressure executables AND their result buffers live,
+    ``--hold-mb 512`` adds 512 MB of live device arrays, while the pair
+    compiles and runs.  Still NO CRASH (rc 0).  Negative result recorded
+    per the round-4 verdict: live-state volume alone does not reproduce
+    it either; whatever the suite adds (exact interleaving of pallas
+    interpret programs, donated-buffer reuse, or a jaxlib bug keyed to a
+    specific allocation pattern) is not reachable by this synthetic
+    pressure.  Closing the line of investigation here — the centralized
+    mitigations (persistent compile cache + ``-n 2 --dist loadfile``)
+    remain the supported way to run the suite.
 """
 
 import argparse
@@ -37,10 +48,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
 
 
-def compile_pressure(n: int):
+def compile_pressure(n: int, hold: bool = False, hold_mb: int = 0):
+    """Compile ``n`` distinct programs; with ``hold`` keep every jitted
+    callable (and so its executable) alive, plus ``hold_mb`` MB of live
+    device buffers — approximating the suite's END state, not just its
+    compile count (round-5 extension of the round-4 negative result)."""
     import jax
     import jax.numpy as jnp
 
+    kept, bufs = [], []
     for i in range(n):
         # unique shape per iteration -> unique executable
         m = 32 + i
@@ -50,9 +66,20 @@ def compile_pressure(n: int):
             b = jnp.tanh(a @ a.T + 1.0)
             return jnp.linalg.cholesky(b @ b.T + jnp.eye(_m) * _m)
 
-        f(jnp.ones((m, m))).block_until_ready()
+        out = f(jnp.ones((m, m)))
+        out.block_until_ready()
+        if hold:
+            kept.append(f)
+            bufs.append(out)          # live result buffer per program
         if (i + 1) % 20 == 0:
             print(f"  compiled {i + 1}/{n} pressure programs", flush=True)
+    if hold_mb:
+        per = 4 * 1024 * 1024 // 8    # 4 MB of f64 per array
+        for j in range(hold_mb // 4):
+            bufs.append(jnp.arange(per, dtype=jnp.float64) * (j + 1))
+        bufs[-1].block_until_ready()
+        print(f"  holding ~{hold_mb} MB of live device buffers", flush=True)
+    return kept, bufs
 
 
 def run_pair(scan_steps: int):
@@ -111,6 +138,11 @@ def main():
     ap.add_argument("--use-cache", action="store_true",
                     help="enable the persistent compilation cache "
                          "(the suite's conftest default)")
+    ap.add_argument("--hold", action="store_true",
+                    help="keep all pressure executables + result buffers "
+                         "live while the pair runs (suite end-state)")
+    ap.add_argument("--hold-mb", type=int, default=0,
+                    help="additional MB of live device arrays to hold")
     args = ap.parse_args()
 
     import jax
@@ -120,10 +152,13 @@ def main():
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/mpcc_jax_cache_tests")
 
-    print(f"pressure: {args.n_warm} programs", flush=True)
-    compile_pressure(args.n_warm)
+    print(f"pressure: {args.n_warm} programs (hold={args.hold}, "
+          f"hold_mb={args.hold_mb})", flush=True)
+    kept = compile_pressure(args.n_warm, hold=args.hold,
+                            hold_mb=args.hold_mb)
     print("running the segfault pair...", flush=True)
     run_pair(args.scan_steps)
+    del kept
     print("NO CRASH: pair survived compile pressure", flush=True)
     return 0
 
