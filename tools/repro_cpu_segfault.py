@@ -35,9 +35,12 @@ Exit 0 = no crash (the pair ran fine under pressure).  A segfault
     it either; whatever the suite adds (exact interleaving of pallas
     interpret programs, donated-buffer reuse, or a jaxlib bug keyed to a
     specific allocation pattern) is not reachable by this synthetic
-    pressure.  Closing the line of investigation here — the centralized
-    mitigations (persistent compile cache + ``-n 2 --dist loadfile``)
-    remain the supported way to run the suite.
+    pressure.  A full single-process fast-tier run (``-p no:xdist``) with
+    the WARM persistent compile cache was also attempted and still died
+    with a fatal interpreter crash mid-suite — so the in-process failure
+    is not (only) compile pressure.  Closing the line of investigation —
+    the centralized mitigations (persistent compile cache + ``-n 2
+    --dist loadfile``) remain the supported way to run the suite.
 """
 
 import argparse
