@@ -384,6 +384,12 @@ def main():
         # the batched while-loop running to the slowest of 4096 lanes);
         # report husky@1024 for apples-to-apples with the Panda headline
         if mobile_batch != 1024:
+            # drop the 4096-run's executables/buffers first — leftover HBM
+            # state skews throughput (same ~2x effect as the Panda->mobile
+            # transition above; r4 measured finding)
+            del m_res, m_flops
+            gc.collect()
+            jax.clear_caches()
             m1k, _ = _measure_system(
                 SYSTEMS["husky_panda"], 1024, cfg,
                 reps_single=0, reps_batched=12, k_batched=(3, 23),

@@ -38,16 +38,21 @@ def main():
     from mpcc_manipulator_tpu.solver.qp_ipm import EPS_IPM
     from mpcc_manipulator_tpu.system import SYSTEMS
 
+    solver = os.environ.get("MPCC_QP_SOLVER", "riccati_pallas")
     cfg = SQPConfig(
         max_iter=20,
-        qp_solver=os.environ.get("MPCC_QP_SOLVER", "riccati_pallas"),
+        qp_solver=solver,
         ipm_max_iter=25,
         qp_max_iter=200, qp_check_every=25,
         qp_backend=os.environ.get("MPCC_QP_BACKEND", "xla"),
         mani_grad="analytic",
         ipm_scheme=os.environ.get("MPCC_IPM_SCHEME", "adaptive"),
         ipm_warm_start=True,
-        qp_assembly="pallas",
+        # the Pallas assembly feeds StageQPK and is only consumed by the
+        # kernel solver (sqp.py guard) — follow the solver unless overridden
+        qp_assembly=os.environ.get(
+            "MPCC_QP_ASSEMBLY",
+            "pallas" if solver == "riccati_pallas" else "xla"),
         kin_backend="pallas",
     )
 

@@ -69,15 +69,17 @@ def _mm(a, b, mm_dtype):
                       preferred_element_type=jnp.float32).astype(a.dtype)
 
 
-def mlp_forward(params: MLPParams, x: jnp.ndarray, is_nerf: bool = True,
-                mm_dtype=None) -> jnp.ndarray:
-    """Value-only forward pass (used by line-search-style cheap evals)."""
+def mlp_forward(params: MLPParams, x: jnp.ndarray, is_nerf: bool = True) -> jnp.ndarray:
+    """Value-only forward pass (used by line-search-style cheap evals).
+
+    Always full precision: the bf16 option (`nn_bf16`) exists for the hot
+    per-tick Jacobian path only; this diagnostic path has no caller that
+    would benefit."""
     h = nerf_encode(x) if is_nerf else x
     n_layer = len(params.weights)
     for i in range(n_layer - 1):
-        h = jnp.maximum(_mm(params.weights[i], h, mm_dtype)
-                        + params.biases[i], 0.0)
-    return _mm(params.weights[-1], h, mm_dtype) + params.biases[-1]
+        h = jnp.maximum(params.weights[i] @ h + params.biases[i], 0.0)
+    return params.weights[-1] @ h + params.biases[-1]
 
 
 def mlp_forward_jacobian(params: MLPParams, x: jnp.ndarray, is_nerf: bool = True,

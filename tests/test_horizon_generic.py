@@ -163,6 +163,73 @@ def test_riccati_closed_loop_any_horizon(track_and_nets, n_h):
     assert out.horizon_u.shape == (n_h, 8)
 
 
+def test_assembly_and_eval_kernels_any_horizon(track_and_nets):
+    """The fused Pallas assembly + eval kernels at N != 10 (interpret):
+    same f32 equivalence contract vs the XLA `build_qp_stages_k` /
+    `total_objective`+violation as test_pallas_assembly.py pins at N=10.
+    Exercises the kernels' per-knot unroll bound, pair_mask, out_shapes
+    and reshape sites, all re-threaded on ``system.horizon`` in r5."""
+    from mpcc_manipulator_tpu.ops import pallas_assembly as pasm
+    from mpcc_manipulator_tpu.solver.sqp import constraint_norm
+    n_h = 5
+    system = _sys(n_h)
+    dt = jnp.float32
+    params32, _ = load_params(dtype=dt)
+    sel32 = cnn.load_self_collision_nn(dtype=dt)
+    env32 = cnn.load_env_collision_nn(dtype=dt)
+    ee = np.asarray(kin.ee_position_host(X0[:7]))
+    # track carries the EE's own orientation: heading errors stay small,
+    # away from the kernel arccos-series' worst region (near pi the f32
+    # drift vs XLA exceeds the 5e-4 equivalence grade)
+    r_ee = np.asarray(kin.ee_orientation(jnp.asarray(X0[:7])))
+    nt = 60
+    phi = np.linspace(0, 2 * np.pi, nt)
+    track32 = als.gen_6d_spline(
+        np.zeros(nt) + ee[0], 0.15 * np.cos(phi) - 0.15 + ee[1],
+        0.15 * np.sin(phi) + ee[2], np.tile(r_ee, (nt, 1, 1)), dtype=dt)
+    rng = np.random.default_rng(3)
+    B = 3
+    zs = jnp.asarray(
+        np.concatenate([np.tile(X0, n_h + 1), np.zeros(8 * n_h)])[None]
+        + 0.002 * rng.standard_normal((B, system.n_var)), dtype=dt)
+    cu = jnp.asarray(0.01 * rng.standard_normal((B, 8)), dtype=dt)
+    obs = jnp.asarray([3., 3., 3.], dt)
+
+    def build_ref(z, c):
+        xs = z[:9 * (n_h + 1)].reshape(n_h + 1, 9)
+        rb = compute_robot_data(xs[:, :7], obs, jnp.asarray(0.0, dt),
+                                sel32, env32, mani_grad="ad", system=system)
+        return qps.build_qp_stages_k(track32, z, rb, params32, c, TS, False,
+                                     system=system), rb
+
+    ref, rbs = jax.vmap(build_ref)(zs, cu)
+    got = pasm._build_batched(track32, zs, rbs, params32, cu, TS,
+                              exact_heading_jac=False, system=system,
+                              interpret=True)
+    for f in ref.__dataclass_fields__:
+        a = np.asarray(getattr(ref, f), dtype=np.float64)
+        g = np.asarray(getattr(got, f), dtype=np.float64)
+        assert a.shape == g.shape, (f, a.shape, g.shape)
+        scale = max(1.0, np.abs(a).max())
+        assert np.abs(a - g).max() <= 5e-4 * scale, f
+
+    # values-only eval kernel vs the XLA objective + l1 violation
+    def ref_eval(z, rb, c):
+        obj = qp_data.total_objective(track32, z, rb, params32,
+                                      system=system)
+        cv, l, u = qp_data.constraint_values(track32, z, rb, params32, c,
+                                             TS, system=system)
+        return obj, constraint_norm(cv, l, u)
+
+    objs, vios = jax.vmap(ref_eval)(zs, rbs, cu)
+    got_o, got_v = pasm._eval_batched(track32, zs, rbs, params32, cu, TS,
+                                      system=system, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(objs),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(vios),
+                               rtol=5e-4, atol=5e-4)
+
+
 @pytest.mark.parametrize(
     "n_h", [5, pytest.param(20, marks=pytest.mark.slow)])
 def test_kernel_ipm_any_horizon(track_and_nets, n_h):
