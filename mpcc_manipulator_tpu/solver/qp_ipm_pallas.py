@@ -746,9 +746,10 @@ def solve_qp_ipm_pallas(qp: StageQPK, max_iter: int = 25,
     ``interpret=None`` auto-selects: compiled on TPU backends, the Pallas
     interpreter elsewhere (CPU tests of the `riccati_pallas` config).
     ``scheme`` mirrors :func:`~.qp_ipm.solve_qp_ipm_s`: ``"adaptive"``
-    (one fused sweep per iteration) or ``"mehrotra"`` (factor once, affine
-    probe + centering corrector as vector sweeps — fewer iterations at a
-    modest per-iteration cost; the production default, see SQPConfig).
+    (one fused sweep per iteration; the production default since the r4
+    structure exploits — see the module docstring) or ``"mehrotra"``
+    (factor once, affine probe + centering corrector as vector sweeps —
+    fewer iterations at a higher per-iteration cost).
     """
     if interpret is None:
         # "axon" is this environment's tunneled-TPU PJRT platform name
