@@ -303,9 +303,10 @@ def main():
     # + exact AD manipulability gradient.  Override via env for ablations
     # (MPCC_QP_SOLVER=riccati|riccati_struct|admm, MPCC_QP_BACKEND=pallas,
     # MPCC_MANI_GRAD=fd, MPCC_IPM_SCHEME=adaptive, MPCC_IPM_WARM=0).
+    solver = os.environ.get("MPCC_QP_SOLVER", "riccati_pallas")
     cfg = SQPConfig(
         max_iter=20,
-        qp_solver=os.environ.get("MPCC_QP_SOLVER", "riccati_pallas"),
+        qp_solver=solver,
         ipm_max_iter=25,
         qp_max_iter=200, qp_check_every=25,
         qp_backend=os.environ.get("MPCC_QP_BACKEND", "xla"),
@@ -318,8 +319,13 @@ def main():
         ipm_warm_start=os.environ.get("MPCC_IPM_WARM", "1") == "1",
         # fused Pallas stage-QP assembly (ops/pallas_assembly.py): measured
         # r4 at batch 1024 Panda, 31.1k -> 100.3k solves/s/chip
-        # (batched step 32.9 -> 10.2 ms); MPCC_QP_ASSEMBLY=xla to ablate
-        qp_assembly=os.environ.get("MPCC_QP_ASSEMBLY", "pallas"),
+        # (batched step 32.9 -> 10.2 ms).  Its StageQPK output is only
+        # consumed by the kernel solver, so it follows MPCC_QP_SOLVER
+        # (the sqp.py guard rejects the combination otherwise);
+        # MPCC_QP_ASSEMBLY overrides explicitly.
+        qp_assembly=os.environ.get(
+            "MPCC_QP_ASSEMBLY",
+            "pallas" if solver == "riccati_pallas" else "xla"),
         # fused Pallas kinematics (ops/pallas_kinematics.py): FK + point
         # Jacobian + analytic manipulability gradient in lanes; the
         # collision-NN matmuls stay XLA/MXU.  MPCC_KIN_BACKEND=xla ablates.

@@ -64,7 +64,7 @@ def main():
                     qp_solver=os.environ.get("MPCC_QP_SOLVER", "riccati_pallas"),
                     ipm_max_iter=25,
                     qp_max_iter=200, qp_check_every=25, mani_grad="analytic",
-                    ipm_scheme=os.environ.get("MPCC_IPM_SCHEME", "mehrotra"),
+                    ipm_scheme=os.environ.get("MPCC_IPM_SCHEME", "adaptive"),
                     ipm_warm_start=os.environ.get("MPCC_IPM_WARM", "1") == "1",
                     qp_assembly=os.environ.get("MPCC_QP_ASSEMBLY", "pallas"))
     ts = 0.01

@@ -193,10 +193,45 @@ def test_n20_closed_loop_sustained(track_and_nets):
         assert np.all(np.diff(s) > -1e-6), n_h      # monotone progress
         s_end[n_h] = s[-1]
     assert s_end[20] > 0.15, s_end                  # real progress at N=20
-    assert s_end[20] > 1.1 * s_end[10], s_end       # lookahead helps
+    # dominance, not a fixed ratio: the measured gap is ~18% (0.199 vs
+    # 0.168) but a hard 1.1x would turn numerical drift across jax
+    # versions into a gate; the contract is that more lookahead never
+    # does worse on the same scenario
+    assert s_end[20] > s_end[10], s_end             # lookahead helps
 
 
-def test_assembly_and_eval_kernels_any_horizon(track_and_nets):
+@pytest.fixture(scope="module")
+def f32_problem():
+    """float32 params/NNs/track for the kernel tests.  The track carries
+    the EE's own orientation: heading errors stay small, away from the
+    kernel arccos-series' worst region (near pi the f32 drift vs XLA
+    exceeds the 5e-4 equivalence grade)."""
+    dt = jnp.float32
+    params32, _ = load_params(dtype=dt)
+    sel32 = cnn.load_self_collision_nn(dtype=dt)
+    env32 = cnn.load_env_collision_nn(dtype=dt)
+    ee = np.asarray(kin.ee_position_host(X0[:7]))
+    r_ee = np.asarray(kin.ee_orientation(jnp.asarray(X0[:7])))
+    nt = 60
+    phi = np.linspace(0, 2 * np.pi, nt)
+    track32 = als.gen_6d_spline(
+        np.zeros(nt) + ee[0], 0.15 * np.cos(phi) - 0.15 + ee[1],
+        0.15 * np.sin(phi) + ee[2], np.tile(r_ee, (nt, 1, 1)), dtype=dt)
+    return params32, sel32, env32, track32
+
+
+def _f32_iterates(system, B, seed):
+    """Perturbed f32 decision-vector batch at the system's horizon."""
+    n_h = system.horizon
+    rng = np.random.default_rng(seed)
+    zs = jnp.asarray(
+        np.concatenate([np.tile(X0, n_h + 1), np.zeros(8 * n_h)])[None]
+        + 0.002 * rng.standard_normal((B, system.n_var)), dtype=jnp.float32)
+    cu = jnp.asarray(0.01 * rng.standard_normal((B, 8)), dtype=jnp.float32)
+    return zs, cu
+
+
+def test_assembly_and_eval_kernels_any_horizon(f32_problem):
     """The fused Pallas assembly + eval kernels at N != 10 (interpret):
     same f32 equivalence contract vs the XLA `build_qp_stages_k` /
     `total_objective`+violation as test_pallas_assembly.py pins at N=10.
@@ -207,25 +242,8 @@ def test_assembly_and_eval_kernels_any_horizon(track_and_nets):
     n_h = 5
     system = _sys(n_h)
     dt = jnp.float32
-    params32, _ = load_params(dtype=dt)
-    sel32 = cnn.load_self_collision_nn(dtype=dt)
-    env32 = cnn.load_env_collision_nn(dtype=dt)
-    ee = np.asarray(kin.ee_position_host(X0[:7]))
-    # track carries the EE's own orientation: heading errors stay small,
-    # away from the kernel arccos-series' worst region (near pi the f32
-    # drift vs XLA exceeds the 5e-4 equivalence grade)
-    r_ee = np.asarray(kin.ee_orientation(jnp.asarray(X0[:7])))
-    nt = 60
-    phi = np.linspace(0, 2 * np.pi, nt)
-    track32 = als.gen_6d_spline(
-        np.zeros(nt) + ee[0], 0.15 * np.cos(phi) - 0.15 + ee[1],
-        0.15 * np.sin(phi) + ee[2], np.tile(r_ee, (nt, 1, 1)), dtype=dt)
-    rng = np.random.default_rng(3)
-    B = 3
-    zs = jnp.asarray(
-        np.concatenate([np.tile(X0, n_h + 1), np.zeros(8 * n_h)])[None]
-        + 0.002 * rng.standard_normal((B, system.n_var)), dtype=dt)
-    cu = jnp.asarray(0.01 * rng.standard_normal((B, 8)), dtype=dt)
+    params32, sel32, env32, track32 = f32_problem
+    zs, cu = _f32_iterates(system, B=3, seed=3)
     obs = jnp.asarray([3., 3., 3.], dt)
 
     def build_ref(z, c):
@@ -265,27 +283,14 @@ def test_assembly_and_eval_kernels_any_horizon(track_and_nets):
 
 @pytest.mark.parametrize(
     "n_h", [5, pytest.param(20, marks=pytest.mark.slow)])
-def test_kernel_ipm_any_horizon(track_and_nets, n_h):
+def test_kernel_ipm_any_horizon(f32_problem, n_h):
     """The fused Pallas IPM kernel (interpret) is step-exact vs the XLA
     structured solver at N != 10."""
     from mpcc_manipulator_tpu.solver import qp_ipm, qp_ipm_pallas
-    track, params, sel_nn, env_nn = track_and_nets
     system = _sys(n_h)
     dt = jnp.float32
-    params32, _ = load_params(dtype=dt)
-    sel32 = cnn.load_self_collision_nn(dtype=dt)
-    env32 = cnn.load_env_collision_nn(dtype=dt)
-    ee = np.asarray(kin.ee_position_host(X0[:7]))
-    nt = 60
-    phi = np.linspace(0, 2 * np.pi, nt)
-    track32 = als.gen_6d_spline(
-        np.zeros(nt) + ee[0], 0.15 * np.cos(phi) - 0.15 + ee[1],
-        0.15 * np.sin(phi) + ee[2], np.tile(np.eye(3), (nt, 1, 1)), dtype=dt)
-    rng = np.random.default_rng(1)
-    B = 2
-    zs = jnp.asarray(
-        np.concatenate([np.tile(X0, n_h + 1), np.zeros(8 * n_h)])[None]
-        + 0.002 * rng.standard_normal((B, system.n_var)), dtype=dt)
+    params32, sel32, env32, track32 = f32_problem
+    zs, _ = _f32_iterates(system, B=2, seed=1)
 
     def build(z):
         xs = z[:9 * (n_h + 1)].reshape(n_h + 1, 9)
