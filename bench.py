@@ -304,8 +304,16 @@ def main():
     # (MPCC_QP_SOLVER=riccati|riccati_struct|admm, MPCC_QP_BACKEND=pallas,
     # MPCC_MANI_GRAD=fd, MPCC_IPM_SCHEME=adaptive, MPCC_IPM_WARM=0).
     solver = os.environ.get("MPCC_QP_SOLVER", "riccati_pallas")
+    # Real-time-iteration mode is the FLEET-HEADLINE default since r5:
+    # one warm-started SQP iteration per tick (SQPConfig.rti).  It passes
+    # the full 100-tick oracle conformance gate and the obstacle/CBF
+    # contract (tests/test_rti.py) at +17%/+23% throughput; the converged
+    # reference-semantics loop is MPCC_RTI=0 (and remains the default of
+    # api.MPCC and every conformance test).
+    rti = os.environ.get("MPCC_RTI", "1") == "1"
     cfg = SQPConfig(
-        max_iter=20,
+        max_iter=1 if rti else 20,
+        rti=rti,
         qp_solver=solver,
         ipm_max_iter=25,
         qp_max_iter=200, qp_check_every=25,

@@ -39,8 +39,10 @@ def main():
     from mpcc_manipulator_tpu.system import SYSTEMS
 
     solver = os.environ.get("MPCC_QP_SOLVER", "riccati_pallas")
+    rti = os.environ.get("MPCC_RTI", "0") == "1"
     cfg = SQPConfig(
-        max_iter=20,
+        max_iter=1 if rti else 20,
+        rti=rti,
         qp_solver=solver,
         ipm_max_iter=25,
         qp_max_iter=200, qp_check_every=25,

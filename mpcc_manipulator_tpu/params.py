@@ -247,6 +247,14 @@ class SQPConfig:
 
     max_iter: int = 100
     line_search_max_iter: int = 5
+    # Real-time iteration (RTI) mode: every completed SQP iteration counts
+    # as SOLVED (the single Newton-type iteration IS the solve; Diehl-style
+    # closed-loop dynamic SQP — use with max_iter=1 and warm starts).  The
+    # guard failures (NaN / non-PD Hessian) still fail hard.  Off by
+    # default: the reference iterates to eps_prim; RTI is a documented
+    # higher-throughput operating point (measured trade-off in
+    # docs/ARCHITECTURE.md).
+    rti: bool = False
     do_SOC: bool = False
     use_BFGS: bool = False
     qp_max_iter: int = 400

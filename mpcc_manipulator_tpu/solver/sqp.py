@@ -354,7 +354,8 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
 
         z_new = z + alpha * qp_data.denormalize_step(step, params, system)
         prim_norm_new = alpha * jnp.max(jnp.abs(step))
-        converged = prim_norm_new < sqp.eps_prim
+        # cfg.rti (static) folds to True: RTI accepts the completed iteration
+        converged = jnp.logical_or(prim_norm_new < sqp.eps_prim, cfg.rti)
 
         z_out = jnp.where(guard_fail, z, z_new)
         status_new = jnp.where(guard_fail, Status.NAN_HESSIAN,
@@ -489,7 +490,8 @@ def solve_ocp(track: TrackSpline, rb: RobotData, params: MPCCParams,
         prim_norm_new = alpha * jnp.max(jnp.abs(step))
         step_prev_new = alpha * step
 
-        converged = prim_norm_new < sqp.eps_prim
+        # cfg.rti (static) folds to True: RTI accepts the completed iteration
+        converged = jnp.logical_or(prim_norm_new < sqp.eps_prim, cfg.rti)
 
         # guard failures abort with the guard status and no step
         z_out = jnp.where(guard_fail, z, z_new)
